@@ -1,0 +1,200 @@
+"""Shared flax building blocks (NHWC, MXU-friendly).
+
+Analog of the reference's ``detectron2/layers`` Python wrappers
+(``wrappers.py:42`` Conv2d+norm fusion, ``batch_norm.py``), re-designed as
+flax modules.  BatchNorm notes:
+
+  * torch ``momentum=0.1`` ≡ flax ``momentum=0.9`` (flax keeps the EMA decay).
+  * Under ``jit`` with a batch-sharded mesh, the batch-axis mean/var reductions
+    are *global*: XLA inserts the cross-replica collectives automatically, so
+    multi-chip training gets synchronized BN statistics by construction — the
+    TPU-native replacement for the reference's opt-in ``NaiveSyncBatchNorm``
+    (layers/batch_norm.py:153-240).
+"""
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.deform_conv import modulated_deform_conv
+
+BN_MOMENTUM = 0.9  # = 1 - torch_momentum(0.1), reference dla.py:27
+BN_EPS = 1e-5
+
+
+class ConvBnAct(nn.Module):
+    """3x3/1x1 conv → BatchNorm → optional ReLU, the DLA trunk workhorse."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: int = 1
+    dilation: int = 1
+    use_relu: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            kernel_dilation=self.dilation,
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+def _dcn_offset_mask_init(key, shape, dtype=jnp.float32):
+    """Zero init: offsets start at 0 and masks at sigmoid(0)=0.5, so a fresh
+    DCN behaves like half a plain conv (DCNv2's reset convention)."""
+    return jnp.zeros(shape, dtype)
+
+
+class DeformConvV2(nn.Module):
+    """The fused DCN block used 16x in DLAUp/IDAUp.
+
+    Structure per reference ``layers/deform_conv.py:498-519`` + the external
+    DCNv2 op it wraps: an internal 3x3 conv predicting 27 channels (18 offset
+    + 9 mask-logit), sigmoid on the mask, 3x3 modulated deformable conv
+    (stride 1, 1 deformable group), then BatchNorm(momentum 0.1) + ReLU.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cin = x.shape[-1]
+        om = nn.Conv(
+            27,
+            (3, 3),
+            padding="SAME",
+            kernel_init=_dcn_offset_mask_init,
+            bias_init=nn.initializers.zeros,
+            dtype=jnp.float32,  # offsets stay f32: sub-pixel positions
+            name="conv_offset_mask",
+        )(x.astype(jnp.float32))
+        offset, mask_logit = om[..., :18], om[..., 18:]
+        mask = jax.nn.sigmoid(mask_logit)
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (3, 3, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        y = modulated_deform_conv(
+            x, offset, mask, kernel.astype(self.dtype), bias
+        )
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            # reference initializes this BN's scale with U(0,1)
+            # (deform_conv.py:514); we keep the conventional ones-init, which
+            # dominates U(0,1) in expectation and trains identically.
+            name="bn",
+        )(y)
+        return nn.relu(y)
+
+
+def _bilinear_kernel(f: int) -> np.ndarray:
+    """(2f, 2f) bilinear interpolation stencil (reference fill_up_weights,
+    dla.py:33-42)."""
+    size = 2 * f
+    c = (2 * np.ceil(size / 2) - 1 - np.ceil(size / 2) % 2) / (2.0 * np.ceil(size / 2))
+    og = np.ogrid[:size, :size]
+    k = (1 - np.abs(og[0] / np.ceil(size / 2) - c)) * (
+        1 - np.abs(og[1] / np.ceil(size / 2) - c)
+    )
+    return k.astype(np.float32)
+
+
+class BilinearUpsample(nn.Module):
+    """Learnable depthwise transposed conv, bilinear-initialized.
+
+    Equivalent of the reference's grouped ``ConvTranspose2d(o, o, f*2,
+    stride=f, padding=f//2, groups=o, bias=False)`` (dla.py:162-165),
+    expressed as an input-dilated conv so XLA lowers it to one conv op.
+    """
+
+    factor: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        f = self.factor
+        c = x.shape[-1]
+        size = 2 * f
+
+        def init(key, shape, dtype=jnp.float32):
+            k = _bilinear_kernel(f)[:, :, None, None]
+            return jnp.asarray(np.broadcast_to(k, shape), dtype)
+
+        kernel = self.param("kernel", init, (size, size, 1, c), jnp.float32)
+        pad = size - 1 - f // 2
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(f, f),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with fixed statistics and affine params (reference
+    layers/batch_norm.py:14): used by ResNet/VoVNet backbones."""
+
+    features: int
+    dtype: Any = jnp.float32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        inv = jax.lax.rsqrt(var.value + self.eps) * scale
+        shift = bias - mean.value * inv
+        return x * inv.astype(x.dtype) + shift.astype(x.dtype)
+
+
+def get_norm(norm: str, features: int, dtype: Any = jnp.float32) -> Optional[Callable]:
+    """Norm factory mirroring reference ``layers/batch_norm.py:127``."""
+    if norm == "":
+        return None
+    if norm in ("BN", "SyncBN", "NaiveSyncBN"):
+        # Sync is automatic under a sharded mesh — see module docstring.
+        return lambda train: nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=dtype
+        )
+    if norm == "FrozenBN":
+        return lambda train: FrozenBatchNorm(features=features, dtype=dtype)
+    if norm == "GN":
+        return lambda train: nn.GroupNorm(num_groups=32, dtype=dtype)
+    raise ValueError(f"Unknown norm: {norm}")
