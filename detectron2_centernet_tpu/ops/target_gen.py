@@ -54,7 +54,9 @@ def gaussian_radius(height: jnp.ndarray, width: jnp.ndarray, min_overlap: float 
     return jnp.minimum(jnp.minimum(r1, r2), r3)
 
 
-@functools.partial(jax.jit, static_argnames=("num_classes", "out_h", "out_w"))
+@functools.partial(
+    jax.jit, static_argnames=("num_classes", "out_h", "out_w", "down_ratio")
+)
 def gen_centernet_targets(
     boxes: jnp.ndarray,  # (M, 4) XYXY in *input* pixels
     classes: jnp.ndarray,  # (M,) int class ids in [0, num_classes)
