@@ -1,0 +1,224 @@
+"""Data loader construction.
+
+Reference surface: ``build_detection_train_loader``/``build_detection_test_loader``
+(``detectron2/data/build.py:301,358``) and ``get_detection_dataset_dicts``
+(:201).  TPU redesign:
+
+  * every mapped sample has identical shapes (DatasetMapper), so batching is
+    ``np.stack`` — no aspect-ratio grouping, no identity-collate list[dict]
+    (the reference needs those only because its shapes are dynamic);
+  * the loader is a python generator wrapped in a small thread pool +
+    prefetch queue instead of torch multiprocess workers: decode+warp is
+    PIL/cv2 releasing the GIL, and the consumer is a single jitted step, so
+    threads saturate the host while the TPU computes;
+  * the train loader is infinite (TrainingSampler) and yields device-ready
+    dict batches of ``SOLVER.IMS_PER_BATCH // num_processes`` images.
+"""
+
+import itertools
+import logging
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional
+
+import numpy as np
+
+from ..config import CfgNode
+from ..parallel import comm
+from .catalog import DatasetCatalog, MetadataCatalog
+from .dataset_mapper import DatasetMapper
+from .samplers import InferenceSampler, RepeatFactorTrainingSampler, TrainingSampler
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "get_detection_dataset_dicts",
+    "build_detection_train_loader",
+    "build_detection_test_loader",
+    "build_batch_iterator",
+]
+
+
+def _has_annotations(d: dict) -> bool:
+    return any(a.get("iscrowd", 0) == 0 for a in d.get("annotations", []))
+
+
+def get_detection_dataset_dicts(
+    dataset_names, filter_empty: bool = True
+) -> List[dict]:
+    """Load + concat + filter registered datasets (reference build.py:201-250)."""
+    if isinstance(dataset_names, str):
+        dataset_names = [dataset_names]
+    assert len(dataset_names)
+    dataset_dicts = [DatasetCatalog.get(name) for name in dataset_names]
+    for name, dicts in zip(dataset_names, dataset_dicts):
+        assert len(dicts), f"Dataset '{name}' is empty!"
+    dataset_dicts = list(itertools.chain.from_iterable(dataset_dicts))
+
+    has_instances = "annotations" in dataset_dicts[0]
+    if filter_empty and has_instances:
+        num_before = len(dataset_dicts)
+        dataset_dicts = [d for d in dataset_dicts if _has_annotations(d)]
+        logger.info(
+            "Removed %d images with no usable annotations. %d images left.",
+            num_before - len(dataset_dicts),
+            len(dataset_dicts),
+        )
+    assert len(dataset_dicts), "No valid data found in " + ",".join(dataset_names)
+    return dataset_dicts
+
+
+def _stack_batch(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+class _PrefetchIterator:
+    """Threaded map+batch+prefetch pipeline over an index iterator."""
+
+    def __init__(
+        self,
+        dataset: List[dict],
+        indices: Iterable[int],
+        mapper: Callable,
+        batch_size: int,
+        num_workers: int,
+        prefetch: int,
+        seed: int,
+        infinite: bool,
+    ) -> None:
+        self._dataset = dataset
+        self._indices = iter(indices)
+        self._mapper = mapper
+        self._batch_size = batch_size
+        self._num_workers = max(1, num_workers)
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+        self._seed = seed
+        self._infinite = infinite
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+
+    def _map_one(self, pos_idx) -> Optional[Dict[str, np.ndarray]]:
+        pos, idx = pos_idx
+        rng = np.random.RandomState((self._seed + pos) % (2 ** 31))
+        try:
+            return self._mapper(self._dataset[idx], rng=rng)
+        except TypeError:
+            return self._mapper(self._dataset[idx])
+
+    def _producer(self) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        try:
+            with ThreadPoolExecutor(self._num_workers) as pool:
+                enumerated = enumerate(self._indices)
+                while not self._stop.is_set():
+                    chunk = list(itertools.islice(enumerated, self._batch_size))
+                    if len(chunk) < self._batch_size:
+                        if chunk and not self._infinite:
+                            samples = [s for s in pool.map(self._map_one, chunk) if s is not None]
+                            if samples:
+                                self._queue.put(_stack_batch(samples))
+                        break
+                    samples = [s for s in pool.map(self._map_one, chunk) if s is not None]
+                    if samples:
+                        self._queue.put(_stack_batch(samples))
+        except Exception as e:  # surface worker errors to the consumer
+            self._queue.put(e)
+        finally:
+            self._queue.put(None)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        item = self._queue.get()
+        if item is None:
+            raise StopIteration
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def close(self) -> None:
+        self._stop.set()
+
+
+def build_batch_iterator(
+    dataset: List[dict],
+    mapper: Callable,
+    sampler,
+    batch_size: int,
+    num_workers: int = 4,
+    prefetch: int = 2,
+    seed: int = 0,
+    infinite: bool = True,
+) -> _PrefetchIterator:
+    return _PrefetchIterator(
+        dataset, sampler, mapper, batch_size, num_workers, prefetch, seed, infinite
+    )
+
+
+def build_detection_train_loader(cfg: CfgNode, mapper: Optional[Callable] = None):
+    """Infinite per-process train loader (reference build.py:301-356).
+
+    Total batch ``SOLVER.IMS_PER_BATCH`` is split evenly across JAX processes
+    (reference splits across GPU workers, build.py:270-277)."""
+    dataset_dicts = get_detection_dataset_dicts(
+        cfg.DATASETS.TRAIN, filter_empty=cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS
+    )
+    if mapper is None:
+        mapper = DatasetMapper(cfg, is_train=True)
+
+    sampler_name = cfg.DATALOADER.SAMPLER_TRAIN
+    if sampler_name == "TrainingSampler":
+        sampler = TrainingSampler(len(dataset_dicts))
+    elif sampler_name == "RepeatFactorTrainingSampler":
+        sampler = RepeatFactorTrainingSampler(
+            dataset_dicts, cfg.DATALOADER.REPEAT_THRESHOLD
+        )
+    else:
+        raise ValueError(f"Unknown training sampler: {sampler_name}")
+
+    world = comm.get_world_size()
+    total = cfg.SOLVER.IMS_PER_BATCH
+    assert total > 0 and total % world == 0, (
+        f"SOLVER.IMS_PER_BATCH ({total}) must be divisible by the number of "
+        f"processes ({world})."
+    )
+    per_process = total // world
+    seed = cfg.SEED if cfg.SEED > 0 else 2026
+    return build_batch_iterator(
+        dataset_dicts,
+        mapper,
+        sampler,
+        per_process,
+        num_workers=cfg.DATALOADER.NUM_WORKERS,
+        prefetch=cfg.DATALOADER.PREFETCH,
+        seed=seed + comm.get_rank() * 1000003,
+        infinite=True,
+    )
+
+
+def build_detection_test_loader(
+    cfg: CfgNode, dataset_name: str, mapper: Optional[Callable] = None
+):
+    """Finite eval loader over this process's contiguous shard
+    (reference build.py:358-403; batch size = fork's ``TEST.BATCH_SIZE``).
+
+    The final short batch is NOT padded here — the eval loop pads to the
+    static batch shape and masks, keeping XLA on one compiled program.
+    """
+    dataset_dicts = get_detection_dataset_dicts([dataset_name], filter_empty=False)
+    if mapper is None:
+        mapper = DatasetMapper(cfg, is_train=False)
+    sampler = InferenceSampler(len(dataset_dicts))
+    return build_batch_iterator(
+        dataset_dicts,
+        mapper,
+        sampler,
+        max(1, cfg.TEST.BATCH_SIZE),
+        num_workers=cfg.DATALOADER.NUM_WORKERS,
+        prefetch=cfg.DATALOADER.PREFETCH,
+        seed=0,
+        infinite=False,
+    )

@@ -1,0 +1,92 @@
+"""DatasetMapper: dataset dict -> fixed-shape model-input arrays.
+
+Redesign of the reference's ``DatasetMapper`` (dataset_mapper.py:20-185) and
+the fork's ``TrafficLightDatasetMapper``
+(projects/CenterNet/center_net/dataset_mapper.py:17-175) for static shapes:
+
+  * TRAIN: read image -> photometric jitter -> ONE affine warp (random
+    scale/shift/flip) to ``INPUT.TRAIN_SIZE`` -> boxes through the same
+    matrix, clipped, filtered, padded to ``MAX_OBJS`` slots with a validity
+    mask.  Gaussian heatmap targets are NOT rendered here — they are
+    generated on-device inside the jitted train step (ops/target_gen.py).
+  * EVAL: deterministic letterbox warp to ``INPUT.TEST_SIZE``; the matrix is
+    returned so the model's ``postprocess`` can un-map boxes.
+
+Output is a dict of numpy arrays with identical shapes for every image —
+the property XLA needs to compile the step exactly once.
+"""
+
+import copy
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..config import CfgNode
+from . import detection_utils as utils
+from .transforms import CenterAffineAug, PhotometricAug, letterbox_transform
+
+__all__ = ["DatasetMapper"]
+
+
+class DatasetMapper:
+    def __init__(self, cfg: CfgNode, is_train: bool = True) -> None:
+        self.is_train = is_train
+        self.image_format = cfg.INPUT.FORMAT
+        self.max_objs = int(cfg.MODEL.CENTERNET.MAX_OBJS)
+        self.train_size = tuple(cfg.INPUT.TRAIN_SIZE)
+        self.test_size = tuple(cfg.INPUT.TEST_SIZE)
+        self.affine_aug = CenterAffineAug(
+            self.train_size,
+            scale_range=tuple(cfg.INPUT.SCALE_RANGE),
+            shift_range=float(cfg.INPUT.SHIFT_RANGE),
+            flip_prob=0.5 if cfg.INPUT.RANDOM_FLIP != "none" else 0.0,
+        )
+        self.photometric: Optional[PhotometricAug] = (
+            PhotometricAug() if (is_train and cfg.INPUT.COLOR_JITTER) else None
+        )
+
+    def __call__(
+        self, dataset_dict: dict, rng: Optional[np.random.RandomState] = None
+    ) -> Dict[str, np.ndarray]:
+        dataset_dict = copy.deepcopy(dataset_dict)
+        if "image" in dataset_dict:
+            image = np.asarray(dataset_dict.pop("image"))
+        else:
+            image = utils.read_image(dataset_dict["file_name"], format=self.image_format)
+        utils.check_image_size(dataset_dict, image)
+        h, w = image.shape[:2]
+
+        if self.is_train:
+            if rng is None:
+                rng = np.random.RandomState()
+            if self.photometric is not None:
+                image = self.photometric(image, rng)
+            m = self.affine_aug(h, w, rng)
+            out_size = self.train_size
+        else:
+            m = letterbox_transform(h, w, self.test_size)
+            out_size = self.test_size
+
+        warped = utils.warp_image(image.astype(np.float32), m, out_size)
+        if warped.ndim == 2:
+            warped = warped[:, :, None]
+
+        out: Dict[str, np.ndarray] = {
+            "image": np.ascontiguousarray(warped, np.float32),
+            "warp": m.astype(np.float32),
+            "height": np.int32(dataset_dict["height"]),
+            "width": np.int32(dataset_dict["width"]),
+            "image_id": np.int64(dataset_dict.get("image_id", -1)),
+        }
+
+        if self.is_train:
+            annos = [
+                a for a in dataset_dict.get("annotations", []) if a.get("iscrowd", 0) == 0
+            ]
+            boxes, classes = utils.annotations_to_boxes(annos)
+            boxes = utils.apply_affine_to_boxes(m, boxes)
+            np.clip(boxes[:, 0::2], 0, out_size[1] - 1, out=boxes[:, 0::2]) if len(boxes) else None
+            np.clip(boxes[:, 1::2], 0, out_size[0] - 1, out=boxes[:, 1::2]) if len(boxes) else None
+            boxes, classes = utils.filter_empty_boxes(boxes, classes)
+            out.update(utils.pad_to_capacity(boxes, classes, self.max_objs))
+        return out

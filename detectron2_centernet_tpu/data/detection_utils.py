@@ -1,0 +1,172 @@
+"""Data-side utilities: image IO, annotation handling, affine geometry.
+
+Counterpart of the reference's ``detectron2/data/detection_utils.py`` with the
+TPU redesign applied: per-image work stays host-side numpy (decode, affine
+warp via cv2, box transform), but everything that used to be a per-object
+python loop *inside model forward* (gaussian target rendering,
+detection_utils.py:600-705) lives on-device in ``ops/target_gen.py``.
+
+The affine-warp convention follows the CenterNet training recipe: one 2x3
+matrix M maps original-image pixels to network-input pixels; boxes warp with
+the same M; its inverse un-maps predicted boxes at the host boundary
+(models/meta_arch/centernet.py ``postprocess``).
+"""
+
+import logging
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image, ImageOps
+
+from ..structures import BoxMode
+
+logger = logging.getLogger(__name__)
+
+
+def convert_PIL_to_numpy(image: Image.Image, format: Optional[str]) -> np.ndarray:
+    """Reference detection_utils.py:38-70."""
+    if format is not None:
+        conversion_format = "RGB" if format in ("BGR", "YUV-BT.601") else format
+        image = image.convert(conversion_format)
+    image = np.asarray(image)
+    if format == "L":
+        image = np.expand_dims(image, -1)
+    elif format == "BGR":
+        image = image[:, :, ::-1]
+    elif format == "YUV-BT.601":
+        image = image / 255.0
+        _M_RGB2YUV = np.array(
+            [[0.299, 0.587, 0.114], [-0.14713, -0.28886, 0.436], [0.615, -0.51499, -0.10001]]
+        )
+        image = np.dot(image, _M_RGB2YUV.T)
+    return image
+
+
+def read_image(file_name: str, format: Optional[str] = None) -> np.ndarray:
+    """Read an image, apply EXIF rotation, convert to the given format
+    (reference detection_utils.py:120-186)."""
+    with open(file_name, "rb") as f:
+        image = Image.open(f)
+        try:
+            image = ImageOps.exif_transpose(image)
+        except Exception:
+            pass
+        return convert_PIL_to_numpy(image, format)
+
+
+def check_image_size(dataset_dict: dict, image: np.ndarray) -> None:
+    """Reference detection_utils.py:189-220."""
+    h, w = image.shape[:2]
+    if "width" in dataset_dict or "height" in dataset_dict:
+        if (dataset_dict.get("width"), dataset_dict.get("height")) != (w, h):
+            raise ValueError(
+                f"Mismatched image shape for {dataset_dict.get('file_name', '')}: "
+                f"file is {w}x{h}, annotation says "
+                f"{dataset_dict.get('width')}x{dataset_dict.get('height')}."
+            )
+    dataset_dict.setdefault("width", w)
+    dataset_dict.setdefault("height", h)
+
+
+# ---------------------------------------------------------------------------
+# Affine warp geometry (CenterNet-style scale+shift crop).
+# ---------------------------------------------------------------------------
+
+def get_affine_transform(
+    center: np.ndarray,  # (2,) crop center in source pixels
+    scale: float,  # source crop extent (max side, pixels)
+    out_size: Tuple[int, int],  # (out_h, out_w)
+) -> np.ndarray:
+    """2x3 matrix mapping source pixels -> output pixels.
+
+    Axis-aligned scale+translate (CenterNet uses no rotation): the square
+    region of side ``scale`` centred at ``center`` maps onto the output so
+    that the longer normalization matches the ctdet letterbox.
+    """
+    out_h, out_w = out_size
+    s = np.float64(scale)
+    sx = out_w / s
+    sy = out_h / s
+    tx = out_w / 2 - sx * center[0]
+    ty = out_h / 2 - sy * center[1]
+    return np.array([[sx, 0, tx], [0, sy, ty]], np.float64)
+
+
+def invert_affine(m: np.ndarray) -> np.ndarray:
+    """Invert a 2x3 affine matrix."""
+    a = m[:, :2]
+    t = m[:, 2]
+    ainv = np.linalg.inv(a)
+    return np.concatenate([ainv, (-ainv @ t)[:, None]], axis=1)
+
+
+def apply_affine_to_points(m: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """pts (..., 2) through a 2x3 matrix."""
+    return pts @ m[:, :2].T + m[:, 2]
+
+
+def apply_affine_to_boxes(m: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """XYXY boxes (N, 4) through an axis-aligned 2x3 affine."""
+    if len(boxes) == 0:
+        return boxes
+    p0 = apply_affine_to_points(m, boxes[:, 0:2])
+    p1 = apply_affine_to_points(m, boxes[:, 2:4])
+    lo = np.minimum(p0, p1)
+    hi = np.maximum(p0, p1)
+    return np.concatenate([lo, hi], axis=1)
+
+
+def warp_image(image: np.ndarray, m: np.ndarray, out_size: Tuple[int, int]) -> np.ndarray:
+    """Apply the 2x3 affine with bilinear sampling (cv2.warpAffine)."""
+    import cv2
+
+    out_h, out_w = out_size
+    return cv2.warpAffine(
+        image, m.astype(np.float64), (out_w, out_h), flags=cv2.INTER_LINEAR
+    )
+
+
+# ---------------------------------------------------------------------------
+# Annotations -> fixed-capacity arrays
+# ---------------------------------------------------------------------------
+
+def annotations_to_boxes(
+    annos: List[dict],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """List of annotation dicts -> (boxes XYXY (N,4) f32, classes (N,) i64).
+
+    The array analog of the reference's ``annotations_to_instances``
+    (detection_utils.py:362-450) for the box task.
+    """
+    boxes = np.array(
+        [BoxMode.convert(a["bbox"], a["bbox_mode"], BoxMode.XYXY_ABS) for a in annos],
+        np.float32,
+    ).reshape(-1, 4)
+    classes = np.array([a["category_id"] for a in annos], np.int64)
+    return boxes, classes
+
+
+def filter_empty_boxes(
+    boxes: np.ndarray, classes: np.ndarray, min_size: float = 1e-5
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Drop degenerate boxes (reference filter_empty_instances, :456-480)."""
+    keep = (boxes[:, 2] - boxes[:, 0] > min_size) & (boxes[:, 3] - boxes[:, 1] > min_size)
+    return boxes[keep], classes[keep]
+
+
+def pad_to_capacity(
+    boxes: np.ndarray, classes: np.ndarray, capacity: int
+) -> Dict[str, np.ndarray]:
+    """Fixed-slot padding: returns gt_boxes (M,4), gt_classes (M,), gt_valid (M,).
+
+    Objects beyond ``capacity`` are dropped (the reference's gen_heatmap also
+    caps at 128 objects, detection_utils.py:611-616).
+    """
+    n = min(len(boxes), capacity)
+    out_boxes = np.zeros((capacity, 4), np.float32)
+    out_classes = np.zeros((capacity,), np.int32)
+    out_valid = np.zeros((capacity,), bool)
+    out_boxes[:n] = boxes[:n]
+    out_classes[:n] = classes[:n]
+    out_valid[:n] = True
+    return {"gt_boxes": out_boxes, "gt_classes": out_classes, "gt_valid": out_valid}
