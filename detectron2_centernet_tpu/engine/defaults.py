@@ -1,0 +1,340 @@
+"""Default trainer / predictor / CLI plumbing.
+
+Reference surface (``detectron2/engine/defaults.py``):
+``default_argument_parser`` (:49), ``default_setup`` (:105),
+``DefaultPredictor`` (:154-218), ``DefaultTrainer`` (:224-579 incl.
+``auto_scale_workers`` :535 and the default hook set :321-366).
+
+TPU redesign: instead of wrapping the model in DDP, ``DefaultTrainer`` builds
+the device mesh, replicates the TrainState and jits one SPMD train step
+(engine/train_state.py).  ``launch`` (reference engine/launch.py:24-94
+``mp.spawn`` + NCCL) collapses to ``jax.distributed.initialize`` — JAX is one
+process per host driving all local chips, so there is nothing to spawn.
+"""
+
+import argparse
+import logging
+import os
+import sys
+from collections import OrderedDict
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from ..checkpoint import DetectionCheckpointer, PeriodicCheckpointer
+from ..config import CfgNode
+from ..data import (
+    build_detection_test_loader,
+    build_detection_train_loader,
+)
+from ..evaluation import (
+    DatasetEvaluator,
+    inference_on_dataset,
+    print_csv_format,
+    verify_results,
+)
+from ..models import build_model
+from ..parallel import comm, get_mesh, replicate, set_global_mesh, shard_batch
+from ..solver import build_lr_scheduler
+from ..utils.env import seed_all_rng
+from ..utils.events import CommonMetricPrinter, JSONWriter, TensorboardXWriter
+from ..utils.logger import setup_logger
+from . import hooks
+from .train_loop import SimpleTrainer
+from .train_state import create_train_state, make_predict_step, make_train_step
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "default_argument_parser",
+    "default_setup",
+    "DefaultPredictor",
+    "DefaultTrainer",
+    "launch",
+]
+
+
+def default_argument_parser(epilog: Optional[str] = None) -> argparse.ArgumentParser:
+    """Reference defaults.py:49-103 flag surface (GPU-count flags kept for
+    workflow compatibility; device count comes from the JAX runtime)."""
+    parser = argparse.ArgumentParser(epilog=epilog or "detectron2_centernet_tpu")
+    parser.add_argument("--config-file", default="", metavar="FILE", help="path to config file")
+    parser.add_argument("--resume", action="store_true", help="resume from OUTPUT_DIR")
+    parser.add_argument("--eval-only", action="store_true", help="perform evaluation only")
+    parser.add_argument("--num-gpus", type=int, default=1, help="(compat) accelerators per machine")
+    parser.add_argument("--num-machines", type=int, default=1, help="total number of hosts")
+    parser.add_argument("--machine-rank", type=int, default=0, help="rank of this host")
+    parser.add_argument("--dist-url", default="auto", help="coordinator address for multi-host")
+    parser.add_argument(
+        "opts",
+        help="Modify config options using the command-line 'KEY VALUE' pairs",
+        default=None,
+        nargs=argparse.REMAINDER,
+    )
+    return parser
+
+
+def default_setup(cfg: CfgNode, args) -> None:
+    """Logging + seeding + config dump (reference defaults.py:105-151)."""
+    output_dir = cfg.OUTPUT_DIR
+    if comm.is_main_process() and output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+
+    rank = comm.get_rank()
+    setup_logger(output_dir, distributed_rank=rank, name="fvcore")
+    global logger
+    logger = setup_logger(output_dir, distributed_rank=rank)
+
+    logger.info(
+        "Rank of current process: %d. World size: %d", rank, comm.get_world_size()
+    )
+    logger.info("Devices: %s", jax.devices())
+    if hasattr(args, "config_file") and args.config_file:
+        logger.info("Contents of args.config_file=%s", args.config_file)
+    logger.info("Running with full config:\n%s", cfg)
+    if comm.is_main_process() and output_dir:
+        path = os.path.join(output_dir, "config.yaml")
+        with open(path, "w") as f:
+            f.write(cfg.dump())
+        logger.info("Full config saved to %s", os.path.abspath(path))
+
+    seed = cfg.SEED
+    seed_all_rng(None if seed < 0 else seed + rank)
+
+
+def launch(
+    main_func: Callable,
+    num_gpus_per_machine: int = 1,
+    num_machines: int = 1,
+    machine_rank: int = 0,
+    dist_url: str = "auto",
+    args=(),
+) -> None:
+    """Reference engine/launch.py:24-94 reimagined for SPMD JAX.
+
+    Single host: call ``main_func`` directly (all local chips are already
+    visible to this process).  Multi-host: ``jax.distributed.initialize``
+    wires the hosts into one global device mesh, then every host runs the
+    same ``main_func`` — the SPMD analog of the per-GPU worker processes.
+    """
+    if num_machines > 1:
+        coordinator = None if dist_url in ("auto", "") else dist_url.replace("tcp://", "")
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_machines,
+            process_id=machine_rank,
+        )
+    main_func(*args)
+
+
+class DefaultPredictor:
+    """Single-image inference with the cfg's test transform
+    (reference defaults.py:154-218): BGR/RGB handling per ``INPUT.FORMAT``,
+    letterbox resize, one jitted forward, returns {"instances": Instances}.
+    """
+
+    def __init__(self, cfg: CfgNode) -> None:
+        self.cfg = cfg.clone()
+        self.model = build_model(self.cfg)
+        self.input_format = cfg.INPUT.FORMAT
+        assert self.input_format in ["RGB", "BGR"], self.input_format
+
+        mesh = get_mesh(1)
+        size = tuple(cfg.INPUT.TEST_SIZE)
+        variables = self.model.init(jax.random.PRNGKey(0), size)
+        ckpt = DetectionCheckpointer(variables)
+        if cfg.MODEL.WEIGHTS:
+            variables = ckpt.load(cfg.MODEL.WEIGHTS)
+        self.variables = variables
+        self._predict = jax.jit(self.model.predict_fn)
+
+        from ..data.transforms import letterbox_transform
+        from ..data.detection_utils import warp_image
+
+        self._letterbox = letterbox_transform
+        self._warp_image = warp_image
+        self._size = size
+
+    def __call__(self, original_image: np.ndarray):
+        """original_image: (H, W, C) uint8, in ``INPUT.FORMAT`` channel order."""
+        h, w = original_image.shape[:2]
+        m = self._letterbox(h, w, self._size)
+        warped = self._warp_image(original_image.astype(np.float32), m, self._size)
+        dets = self._predict(self.variables, warped[None])
+        dets = {k: np.asarray(v) for k, v in dets.items()}
+        return self.model.postprocess(dets, [m], [(h, w)])[0]
+
+
+class DefaultTrainer(SimpleTrainer):
+    """Standard train-from-cfg workflow (reference defaults.py:224-533)."""
+
+    def __init__(self, cfg: CfgNode) -> None:
+        cfg = DefaultTrainer.auto_scale_workers(cfg, comm.get_world_size())
+        self.cfg = cfg
+        model = self.build_model(cfg)
+        self.mesh = get_mesh(cfg.TPU.NUM_DEVICES, cfg.TPU.MESH_AXIS)
+        set_global_mesh(self.mesh)
+
+        state, tx = create_train_state(cfg, model, jax.random.PRNGKey(max(cfg.SEED, 0)))
+        train_step = make_train_step(model, tx, self.mesh, cfg.TPU.MESH_AXIS)
+        data_loader = self.build_train_loader(cfg)
+        mesh = self.mesh
+
+        super().__init__(
+            model,
+            data_loader,
+            train_step,
+            replicate(state, mesh),
+            lambda b: shard_batch(b, mesh, cfg.TPU.MESH_AXIS),
+        )
+        self.schedule = build_lr_scheduler(cfg)
+        self.checkpointer = DetectionCheckpointer(self.state, cfg.OUTPUT_DIR)
+        self.start_iter = 0
+        self.max_iter = cfg.SOLVER.MAX_ITER
+        self.register_hooks(self.build_hooks())
+
+    def resume_or_load(self, resume: bool = True) -> None:
+        """Reference defaults.py:303-319."""
+        self.checkpointer.state = self.state
+        state = self.checkpointer.resume_or_load(self.cfg.MODEL.WEIGHTS, resume=resume)
+        self.state = replicate(state, self.mesh)
+        if resume and self.checkpointer.has_checkpoint():
+            self.start_iter = int(np.asarray(state.step))
+
+    def build_hooks(self):
+        cfg = self.cfg
+        ret = [
+            hooks.IterationTimer(),
+            hooks.LRSchedulerHook(self.schedule),
+        ]
+        if comm.is_main_process():
+            ret.append(
+                hooks.PeriodicCheckpointerHook(
+                    PeriodicCheckpointer(
+                        self.checkpointer, cfg.SOLVER.CHECKPOINT_PERIOD, cfg.SOLVER.MAX_ITER
+                    )
+                )
+            )
+
+        def test_and_save_results():
+            self._last_eval_results = self.test(self.cfg, self)
+            return self._last_eval_results
+
+        if cfg.TEST.EVAL_PERIOD > 0:
+            ret.append(hooks.EvalHook(cfg.TEST.EVAL_PERIOD, test_and_save_results))
+        if comm.is_main_process():
+            ret.append(hooks.PeriodicWriter(self.build_writers(), period=20))
+        return ret
+
+    def build_writers(self):
+        cfg = self.cfg
+        return [
+            CommonMetricPrinter(cfg.SOLVER.MAX_ITER),
+            JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json")),
+            TensorboardXWriter(cfg.OUTPUT_DIR),
+        ]
+
+    def train(self):  # noqa: D401
+        super().train(self.start_iter, self.max_iter)
+        if comm.is_main_process() and hasattr(self, "_last_eval_results"):
+            verify_results(self.cfg, self._last_eval_results)
+            return self._last_eval_results
+
+    @classmethod
+    def build_model(cls, cfg: CfgNode):
+        model = build_model(cfg)
+        logger.info("Model:\n%s", model)
+        return model
+
+    @classmethod
+    def build_train_loader(cls, cfg: CfgNode):
+        return build_detection_train_loader(cfg)
+
+    @classmethod
+    def build_test_loader(cls, cfg: CfgNode, dataset_name: str):
+        return build_detection_test_loader(cfg, dataset_name)
+
+    @classmethod
+    def build_evaluator(cls, cfg: CfgNode, dataset_name: str) -> DatasetEvaluator:
+        from ..evaluation import COCOEvaluator
+
+        return COCOEvaluator(dataset_name, output_dir=cfg.OUTPUT_DIR)
+
+    @classmethod
+    def test(cls, cfg: CfgNode, trainer_or_model, evaluators=None) -> OrderedDict:
+        """Evaluate on every cfg.DATASETS.TEST (reference defaults.py:483-533).
+
+        ``trainer_or_model`` is a DefaultTrainer (uses its live state) or a
+        meta-arch with variables attached.
+        """
+        if isinstance(trainer_or_model, DefaultTrainer):
+            model = trainer_or_model.model
+            variables = {
+                "params": trainer_or_model.state.params,
+                "batch_stats": trainer_or_model.state.batch_stats,
+            }
+            mesh = trainer_or_model.mesh
+        else:
+            model = trainer_or_model
+            variables = model.variables
+            mesh = get_mesh(cfg.TPU.NUM_DEVICES, cfg.TPU.MESH_AXIS)
+
+        predict = jax.jit(lambda images: model.predict_fn(variables, images))
+
+        results = OrderedDict()
+        for idx, dataset_name in enumerate(cfg.DATASETS.TEST):
+            data_loader = cls.build_test_loader(cfg, dataset_name)
+            if evaluators is not None:
+                evaluator = evaluators[idx]
+            else:
+                try:
+                    evaluator = cls.build_evaluator(cfg, dataset_name)
+                except NotImplementedError:
+                    logger.warning("No evaluator for %s", dataset_name)
+                    results[dataset_name] = {}
+                    continue
+            results_i = inference_on_dataset(
+                predict,
+                data_loader,
+                evaluator,
+                postprocess=model.postprocess,
+                batch_size=max(1, cfg.TEST.BATCH_SIZE),
+            )
+            results[dataset_name] = results_i
+            if comm.is_main_process():
+                assert isinstance(results_i, dict), results_i
+                logger.info("Evaluation results for %s in csv format:", dataset_name)
+                print_csv_format(results_i)
+
+        if len(results) == 1:
+            results = list(results.values())[0]
+        return results
+
+    @staticmethod
+    def auto_scale_workers(cfg: CfgNode, num_workers: int) -> CfgNode:
+        """Linear-scaling rule (reference defaults.py:535-579)."""
+        old_world_size = cfg.SOLVER.REFERENCE_WORLD_SIZE
+        if old_world_size == 0 or old_world_size == num_workers:
+            return cfg
+        cfg = cfg.clone()
+        frozen = cfg.is_frozen()
+        cfg.defrost()
+
+        assert cfg.SOLVER.IMS_PER_BATCH % old_world_size == 0
+        scale = num_workers / old_world_size
+        bs = cfg.SOLVER.IMS_PER_BATCH = int(round(cfg.SOLVER.IMS_PER_BATCH * scale))
+        lr = cfg.SOLVER.BASE_LR = cfg.SOLVER.BASE_LR * scale
+        max_iter = cfg.SOLVER.MAX_ITER = int(round(cfg.SOLVER.MAX_ITER / scale))
+        warmup_iter = cfg.SOLVER.WARMUP_ITERS = int(round(cfg.SOLVER.WARMUP_ITERS / scale))
+        cfg.SOLVER.STEPS = tuple(int(round(s / scale)) for s in cfg.SOLVER.STEPS)
+        cfg.TEST.EVAL_PERIOD = int(round(cfg.TEST.EVAL_PERIOD / scale))
+        cfg.SOLVER.CHECKPOINT_PERIOD = int(round(cfg.SOLVER.CHECKPOINT_PERIOD / scale))
+        cfg.SOLVER.REFERENCE_WORLD_SIZE = num_workers
+        logger.info(
+            "Auto-scaling the config to batch_size=%d, learning_rate=%g, max_iter=%d, warmup=%d.",
+            bs, lr, max_iter, warmup_iter,
+        )
+        if frozen:
+            cfg.freeze()
+        return cfg
