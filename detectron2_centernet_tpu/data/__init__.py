@@ -8,6 +8,9 @@ from .catalog import DatasetCatalog, Metadata, MetadataCatalog
 from .dataset_mapper import DatasetMapper
 from .datasets import register_coco_instances
 from .samplers import InferenceSampler, RepeatFactorTrainingSampler, TrainingSampler
+from .datasets.builtin import register_builtin_datasets
+
+register_builtin_datasets()
 
 __all__ = [
     "DatasetCatalog",

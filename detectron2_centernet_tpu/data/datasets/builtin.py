@@ -1,0 +1,84 @@
+"""Builtin dataset registrations at hard-coded paths.
+
+Mirrors the reference's ``detectron2/data/datasets/builtin.py``: the COCO
+2014/2017 splits (:33-47), and the fork-private LISA traffic-light (:239) and
+bulb-wise traffic-light splits (:252-279), all rooted at
+``$DETECTRON2_DATASETS`` (default ``./datasets``).  Registration is lazy —
+json parsing happens only when a dataset is first used.
+"""
+
+import os
+
+from .builtin_meta import get_builtin_metadata
+from .coco import register_coco_instances
+
+_PREDEFINED_SPLITS_COCO = {
+    "coco_2014_train": ("coco/train2014", "coco/annotations/instances_train2014.json"),
+    "coco_2014_val": ("coco/val2014", "coco/annotations/instances_val2014.json"),
+    "coco_2014_minival": ("coco/val2014", "coco/annotations/instances_minival2014.json"),
+    "coco_2017_train": ("coco/train2017", "coco/annotations/instances_train2017.json"),
+    "coco_2017_val": ("coco/val2017", "coco/annotations/instances_val2017.json"),
+    "coco_2017_val_100": ("coco/val2017", "coco/annotations/instances_val2017_100.json"),
+}
+
+# fork-private LISA traffic-light splits (reference builtin.py:239-250)
+_PREDEFINED_SPLITS_LISA = {
+    "lisa_bulb_coco_train": ("lisa", "lisa/Annotations/coco/annotations/bulb_instances_train2017.json"),
+    "lisa_bulb_coco_val": ("lisa", "lisa/Annotations/coco/annotations/bulb_instances_val2017.json"),
+    "lisa_day_bulb_coco_train": ("lisa", "lisa/Annotations/coco/annotations/day_bulb_instances_train2017.json"),
+    "lisa_day_bulb_coco_val": ("lisa", "lisa/Annotations/coco/annotations/day_bulb_instances_val2017.json"),
+    "lisa_night_bulb_coco_train": ("lisa", "lisa/Annotations/coco/annotations/night_bulb_instances_train2017.json"),
+    "lisa_night_bulb_coco_val": ("lisa", "lisa/Annotations/coco/annotations/night_bulb_instances_val2017.json"),
+}
+
+# fork-private bulb-wise traffic-light splits (reference builtin.py:252-265)
+_PREDEFINED_SPLITS_BULB = {
+    "tl_bulb_train": ("traffic_light_bulb/images", "traffic_light_bulb/annotations/train2020_tl_bulb.json"),
+    "tl_train": ("traffic_light_bulb/images", "traffic_light_bulb/annotations/train2020_tl.json"),
+    "bulb_train": ("traffic_light_bulb/images", "traffic_light_bulb/annotations/train_split_2020_bulb.json"),
+    "bulb_val": ("traffic_light_bulb/images", "traffic_light_bulb/annotations/val_split_2020_bulb.json"),
+    "bulb": ("traffic_light_bulb/images", "traffic_light_bulb/annotations/train2020_bulb.json"),
+    "class_agnostic_bulb_train": (
+        "traffic_light_bulb/images",
+        "traffic_light_bulb/annotations/class_agnostic_train_split_2020_bulb.json",
+    ),
+    "class_agnostic_bulb_val": (
+        "traffic_light_bulb/images",
+        "traffic_light_bulb/annotations/class_agnostic_val_split_2020_bulb.json",
+    ),
+    "class_agnostic_bulb": (
+        "traffic_light_bulb/images",
+        "traffic_light_bulb/annotations/class_agnostic_train2020_bulb.json",
+    ),
+}
+
+
+def register_all_coco(root: str) -> None:
+    for key, (image_root, json_file) in _PREDEFINED_SPLITS_COCO.items():
+        register_coco_instances(
+            key,
+            get_builtin_metadata("coco"),
+            os.path.join(root, json_file),
+            os.path.join(root, image_root),
+        )
+
+
+def register_all_tl(root: str) -> None:
+    for splits in (_PREDEFINED_SPLITS_LISA, _PREDEFINED_SPLITS_BULB):
+        for key, (image_root, json_file) in splits.items():
+            register_coco_instances(
+                key, {}, os.path.join(root, json_file), os.path.join(root, image_root)
+            )
+
+
+_registered = False
+
+
+def register_builtin_datasets() -> None:
+    global _registered
+    if _registered:
+        return
+    _registered = True
+    root = os.getenv("DETECTRON2_DATASETS", "datasets")
+    register_all_coco(root)
+    register_all_tl(root)

@@ -1,3 +1,22 @@
 from .dla import DLA34, DLATrunk, DLAUp, IDAUp, build_dla34_backbone
+from .resnet import (
+    ResNet,
+    ResNetDeconv,
+    build_resnet_backbone,
+    build_resnet_deconv_backbone,
+)
+from .vovnet import VoVNet, build_vovnet_backbone
 
-__all__ = ["DLA34", "DLATrunk", "DLAUp", "IDAUp", "build_dla34_backbone"]
+__all__ = [
+    "DLA34",
+    "DLATrunk",
+    "DLAUp",
+    "IDAUp",
+    "ResNet",
+    "ResNetDeconv",
+    "VoVNet",
+    "build_dla34_backbone",
+    "build_resnet_backbone",
+    "build_resnet_deconv_backbone",
+    "build_vovnet_backbone",
+]

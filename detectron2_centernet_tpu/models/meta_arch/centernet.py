@@ -79,6 +79,33 @@ class CenterNetHeads(nn.Module):
         return z
 
 
+class DeconvNeck(nn.Module):
+    """Deconv upsampler for dict-output trunks (ResNet/VoVNet paths,
+    reference centernet.py:70-109,268-320): stride-16 feature -> 2x
+    [ConvTranspose(256, k4, s2) + BN + ReLU] -> stride-4 map."""
+
+    trunk: nn.Module
+    feature: str  # "res4" | "stage4"
+    head_channels: int = 256
+    num_deconv: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        y = self.trunk(x, train)[self.feature]
+        for i in range(self.num_deconv):
+            y = nn.ConvTranspose(
+                self.head_channels, (4, 4), strides=(2, 2), padding="SAME",
+                use_bias=False, dtype=self.dtype, name=f"deconv{i}",
+            )(y)
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name=f"deconv{i}_bn",
+            )(y)
+            y = nn.relu(y)
+        return y
+
+
 class CenterNetModel(nn.Module):
     """backbone → heads. Input is already normalized NHWC."""
 
@@ -187,7 +214,17 @@ class CenterNet:
         dtype = jnp.bfloat16 if cfg.TPU.DTYPE == "bfloat16" else jnp.float32
         self.dtype = dtype
         backbone_builder = BACKBONE_REGISTRY.get(cfg.MODEL.BACKBONE.NAME)
-        self.backbone = backbone_builder(cfg, dtype=dtype)
+        backbone = backbone_builder(cfg, dtype=dtype)
+        # dict-output trunks get the deconv neck (reference forces
+        # down_ratio 4 / size_div 16 for these paths, centernet.py:70-109)
+        from ..backbones.resnet import ResNet
+        from ..backbones.vovnet import VoVNet
+
+        if isinstance(backbone, ResNet):
+            backbone = DeconvNeck(trunk=backbone, feature="res4", dtype=dtype)
+        elif isinstance(backbone, VoVNet):
+            backbone = DeconvNeck(trunk=backbone, feature="stage4", dtype=dtype)
+        self.backbone = backbone
         heads = (("hm", self.num_classes), ("reg", 2), ("wh", 2))
         self.module = CenterNetModel(
             backbone=self.backbone,

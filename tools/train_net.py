@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Canonical training CLI (reference ``tools/train_net.py``).
+
+Examples:
+    python tools/train_net.py --config-file configs/CenterNet/ctdet_dla_34_1x.yaml
+    python tools/train_net.py --config-file ... --eval-only MODEL.WEIGHTS /path/ckpt
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from detectron2_centernet_tpu.config import get_cfg
+from detectron2_centernet_tpu.data import MetadataCatalog
+from detectron2_centernet_tpu.engine import (
+    DefaultTrainer,
+    default_argument_parser,
+    default_setup,
+    launch,
+)
+from detectron2_centernet_tpu.evaluation import COCOEvaluator, verify_results
+
+
+class Trainer(DefaultTrainer):
+    """Evaluator factory by dataset ``evaluator_type`` (reference
+    train_net.py:46-103)."""
+
+    @classmethod
+    def build_evaluator(cls, cfg, dataset_name, output_folder=None):
+        if output_folder is None:
+            output_folder = os.path.join(cfg.OUTPUT_DIR, "inference")
+        evaluator_type = MetadataCatalog.get(dataset_name).get("evaluator_type", "coco")
+        if evaluator_type == "coco":
+            return COCOEvaluator(dataset_name, output_dir=output_folder)
+        raise NotImplementedError(
+            f"No evaluator implemented for evaluator_type '{evaluator_type}' "
+            f"(dataset {dataset_name})"
+        )
+
+
+def setup(args):
+    cfg = get_cfg()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    cfg.merge_from_list(args.opts)
+    cfg.freeze()
+    default_setup(cfg, args)
+    return cfg
+
+
+def main(args):
+    cfg = setup(args)
+
+    if args.eval_only:
+        trainer = Trainer(cfg)
+        trainer.resume_or_load(resume=args.resume)
+        res = Trainer.test(cfg, trainer)
+        if cfg.TEST.AUG.ENABLED:
+            raise NotImplementedError("TEST.AUG for --eval-only: use TTA via the predictor")
+        verify_results(cfg, res)
+        return res
+
+    trainer = Trainer(cfg)
+    trainer.resume_or_load(resume=args.resume)
+    return trainer.train()
+
+
+if __name__ == "__main__":
+    args = default_argument_parser().parse_args()
+    launch(
+        main,
+        args.num_gpus,
+        num_machines=args.num_machines,
+        machine_rank=args.machine_rank,
+        dist_url=args.dist_url,
+        args=(args,),
+    )
