@@ -6,6 +6,7 @@ from .resnet import (
     build_resnet_deconv_backbone,
 )
 from .vovnet import VoVNet, build_vovnet_backbone
+from .fpn import FPN, build_resnet_fpn_backbone, build_retinanet_resnet_fpn_backbone
 
 __all__ = [
     "DLA34",

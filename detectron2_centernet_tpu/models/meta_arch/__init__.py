@@ -1,3 +1,13 @@
 from .centernet import CenterNet, CenterNetModel, focal_loss, reg_l1_loss
+from .retinanet import RetinaNet, RetinaNetHead, sigmoid_focal_loss, smooth_l1
 
-__all__ = ["CenterNet", "CenterNetModel", "focal_loss", "reg_l1_loss"]
+__all__ = [
+    "CenterNet",
+    "CenterNetModel",
+    "RetinaNet",
+    "RetinaNetHead",
+    "focal_loss",
+    "reg_l1_loss",
+    "sigmoid_focal_loss",
+    "smooth_l1",
+]
