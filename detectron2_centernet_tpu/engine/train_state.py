@@ -69,6 +69,11 @@ def make_train_step(
     """
 
     def step_fn(state: TrainState, batch):
+        # deterministic per-step rng for meta-archs that sample (RPN/ROI
+        # subsampling); folded from the step counter so resume reproduces it
+        batch = dict(batch)
+        batch["rng"] = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+
         def loss(params):
             return meta_arch.loss_fn(params, state.batch_stats, batch)
 

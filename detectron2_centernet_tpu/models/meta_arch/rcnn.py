@@ -1,0 +1,360 @@
+"""GeneralizedRCNN (reference ``detectron2/modeling/meta_arch/rcnn.py:25``).
+
+Two-stage detector: backbone(+FPN) → RPN → ROI heads, re-designed with the
+framework's static-shape contract:
+
+  * RPN emits a FIXED number of proposals per image (post-NMS top-k slots with
+    a validity mask) instead of variable-length Instances lists;
+  * proposal sampling (512 @ 0.25 positive) is a randomized top-k over masked
+    slots, seeded from the train step's folded rng (``batch["rng"]``);
+  * ROI pooling is the gather-based ROIAlign (ops/roi_align.py) over the FPN
+    pyramid with level assignment, one batched call for all N*S rois;
+  * losses and decode run under one jit; the host boundary only sees fixed-K
+    detections (postprocess -> Instances, like the other meta-archs).
+
+Supports ``StandardROIHeads`` (FPN, box path) and ``Res5ROIHeads`` (C4).
+"""
+
+import math
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...config import CfgNode
+from ...ops.roi_align import multilevel_roi_align, roi_align
+from ...structures import Boxes, Instances
+from ..anchors import build_anchor_generator
+from ..box_regression import Box2BoxTransform
+from ..matcher import Matcher
+from ..proposal_generator.rpn import (
+    StandardRPNHead,
+    find_top_rpn_proposals,
+    rpn_losses,
+)
+from ..registry import BACKBONE_REGISTRY, META_ARCH_REGISTRY
+from ..roi_heads.box_head import FastRCNNConvFCHead, FastRCNNOutputLayers
+from ..roi_heads.roi_heads import (
+    fast_rcnn_inference,
+    fast_rcnn_losses,
+    label_and_sample_proposals,
+)
+
+
+class RCNNNetwork(nn.Module):
+    """All parameterized pieces in one flax module; the pure logic between
+    them lives in the meta-arch and runs inside the same jit."""
+
+    backbone: nn.Module
+    rpn_in_features: Tuple[str, ...]
+    num_anchors: int
+    roi_type: str  # "standard" | "res5"
+    num_classes: int
+    num_conv: int
+    conv_dim: int
+    num_fc: int
+    fc_dim: int
+    cls_agnostic: bool
+    pooler_resolution: int = 7
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.rpn_head = StandardRPNHead(self.num_anchors, dtype=self.dtype)
+        if self.roi_type == "standard":
+            self.box_head = FastRCNNConvFCHead(
+                num_conv=self.num_conv, conv_dim=self.conv_dim,
+                num_fc=self.num_fc, fc_dim=self.fc_dim, dtype=self.dtype,
+            )
+        self.box_predictor = FastRCNNOutputLayers(
+            self.num_classes, cls_agnostic_bbox_reg=self.cls_agnostic, dtype=self.dtype
+        )
+
+    def backbone_rpn(self, images, train: bool = False):
+        feats = self.backbone(images, train)
+        rpn_feats = [feats[f] for f in self.rpn_in_features]
+        logits, deltas = self.rpn_head(rpn_feats)
+        return feats, logits, deltas
+
+    def box_predict(self, pooled, train: bool = False):
+        """pooled (R, P, P, C) -> (scores, deltas)."""
+        if self.roi_type == "standard":
+            x = self.box_head(pooled, train)
+        else:
+            x = pooled  # Res5 path pools after the res5 stage; see meta-arch
+        return self.box_predictor(x)
+
+    def __call__(self, images, train: bool = False):
+        # init path: trace every submodule once
+        feats, logits, deltas = self.backbone_rpn(images, train)
+        f0 = feats[self.rpn_in_features[0]]
+        c = f0.shape[-1]
+        p = self.pooler_resolution
+        dummy_pooled = jnp.zeros((1, p, p, c), f0.dtype)
+        self.box_predict(dummy_pooled, train)
+        return logits
+
+
+@META_ARCH_REGISTRY.register()
+class GeneralizedRCNN:
+    def __init__(self, cfg: CfgNode) -> None:
+        self.num_classes = int(cfg.MODEL.ROI_HEADS.NUM_CLASSES)
+        self.pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
+        self.pixel_std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
+        dtype = jnp.bfloat16 if cfg.TPU.DTYPE == "bfloat16" else jnp.float32
+        self.dtype = dtype
+
+        backbone_builder = BACKBONE_REGISTRY.get(cfg.MODEL.BACKBONE.NAME)
+        self.backbone = backbone_builder(cfg, dtype=dtype)
+        self.is_fpn = "fpn" in cfg.MODEL.BACKBONE.NAME
+
+        r = cfg.MODEL.RPN
+        self.rpn_in_features = tuple(r.IN_FEATURES)
+        strides_map = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64, "p7": 128,
+                       "res2": 4, "res3": 8, "res4": 16, "res5": 32}
+        self.rpn_strides = [strides_map[f] for f in self.rpn_in_features]
+        self.anchor_generator = build_anchor_generator(cfg, self.rpn_strides)
+        self.num_anchors_per_cell = self.anchor_generator.num_anchors[0]
+        self.rpn_matcher = Matcher(list(r.IOU_THRESHOLDS), list(r.IOU_LABELS),
+                                   allow_low_quality_matches=True)
+        self.rpn_box2box = Box2BoxTransform(tuple(r.BBOX_REG_WEIGHTS))
+        self.rpn_batch_size = int(r.BATCH_SIZE_PER_IMAGE)
+        self.rpn_positive_fraction = float(r.POSITIVE_FRACTION)
+        self.rpn_nms_thresh = float(r.NMS_THRESH)
+        self.rpn_smooth_l1_beta = float(r.SMOOTH_L1_BETA)
+        self.pre_nms_topk = {"train": int(r.PRE_NMS_TOPK_TRAIN), "test": int(r.PRE_NMS_TOPK_TEST)}
+        self.post_nms_topk = {"train": int(r.POST_NMS_TOPK_TRAIN), "test": int(r.POST_NMS_TOPK_TEST)}
+        self.rpn_loss_weight = float(r.LOSS_WEIGHT)
+
+        rh = cfg.MODEL.ROI_HEADS
+        self.roi_type = "standard" if rh.NAME == "StandardROIHeads" else "res5"
+        self.roi_in_features = tuple(rh.IN_FEATURES)
+        self.roi_strides = [strides_map[f] for f in self.roi_in_features]
+        self.roi_matcher = Matcher(list(rh.IOU_THRESHOLDS), list(rh.IOU_LABELS),
+                                   allow_low_quality_matches=False)
+        self.roi_batch_size = int(rh.BATCH_SIZE_PER_IMAGE)
+        self.roi_positive_fraction = float(rh.POSITIVE_FRACTION)
+        self.score_threshold = float(rh.SCORE_THRESH_TEST)
+        self.nms_threshold = float(rh.NMS_THRESH_TEST)
+        self.max_detections = int(cfg.TEST.DETECTIONS_PER_IMAGE)
+        self.proposal_append_gt = bool(rh.PROPOSAL_APPEND_GT)
+
+        bh = cfg.MODEL.ROI_BOX_HEAD
+        self.box2box = Box2BoxTransform(tuple(bh.BBOX_REG_WEIGHTS))
+        self.smooth_l1_beta = float(bh.SMOOTH_L1_BETA)
+        self.pooler_resolution = int(bh.POOLER_RESOLUTION)
+        self.pooler_sampling_ratio = int(bh.POOLER_SAMPLING_RATIO) or 2
+
+        self.module = RCNNNetwork(
+            backbone=self.backbone,
+            rpn_in_features=self.rpn_in_features,
+            num_anchors=self.num_anchors_per_cell,
+            roi_type=self.roi_type,
+            num_classes=self.num_classes,
+            num_conv=int(bh.NUM_CONV),
+            conv_dim=int(bh.CONV_DIM),
+            num_fc=int(bh.NUM_FC) or 2,
+            fc_dim=int(bh.FC_DIM),
+            cls_agnostic=bool(bh.CLS_AGNOSTIC_BBOX_REG),
+            pooler_resolution=int(bh.POOLER_RESOLUTION),
+            dtype=dtype,
+        )
+
+    # -- plumbing -------------------------------------------------------------
+    def init(self, rng: jax.Array, image_size: Tuple[int, int] = (512, 512)):
+        dummy = jnp.zeros((1, image_size[0], image_size[1], 3), jnp.float32)
+        return self.module.init(rng, dummy, train=False)
+
+    def normalize(self, images: jnp.ndarray) -> jnp.ndarray:
+        x = images.astype(jnp.float32)
+        return (x - self.pixel_mean) / self.pixel_std
+
+    def _anchors_per_level(self, image_hw):
+        grid_sizes = [(-(-image_hw[0] // s), -(-image_hw[1] // s)) for s in self.rpn_strides]
+        return [jnp.asarray(a) for a in self.anchor_generator.grid_anchors(grid_sizes)]
+
+    @staticmethod
+    def _flatten_rpn(logits, deltas):
+        lg = [l.reshape(l.shape[0], -1) for l in logits]
+        dl = [d.reshape(d.shape[0], -1, 4) for d in deltas]
+        return lg, dl
+
+    def _proposals(self, logits, deltas, anchors_per_level, image_hw, mode):
+        lg, dl = self._flatten_rpn(logits, deltas)
+        return find_top_rpn_proposals(
+            lg, dl, anchors_per_level, image_hw, self.rpn_box2box,
+            nms_thresh=self.rpn_nms_thresh,
+            pre_nms_topk=self.pre_nms_topk[mode],
+            post_nms_topk=self.post_nms_topk[mode],
+        )
+
+    def _pool(self, feats: Dict[str, jnp.ndarray], boxes: jnp.ndarray, batch_idx: jnp.ndarray):
+        """boxes (R, 4) input coords + batch_idx (R,) -> pooled (R, P, P, C)."""
+        if len(self.roi_in_features) == 1:
+            f = self.roi_in_features[0]
+            return roi_align(
+                feats[f], boxes, batch_idx, 1.0 / self.roi_strides[0],
+                self.pooler_resolution, self.pooler_sampling_ratio,
+            )
+        return multilevel_roi_align(
+            [feats[f] for f in self.roi_in_features], self.roi_strides,
+            boxes, batch_idx, self.pooler_resolution, self.pooler_sampling_ratio,
+        )
+
+    # -- training -------------------------------------------------------------
+    def loss_fn(self, params, batch_stats, batch):
+        images = self.normalize(batch["image"])
+        n, h, w, _ = images.shape
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        (feats, logits, deltas), mutated = self.module.apply(
+            variables, images, True, method=RCNNNetwork.backbone_rpn,
+            mutable=["batch_stats"],
+        )
+        anchors_per_level = self._anchors_per_level((h, w))
+        anchors = jnp.concatenate(anchors_per_level, axis=0)
+        lg, dl = self._flatten_rpn(logits, deltas)
+        rng = batch.get("rng")
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        rng_rpn, rng_roi = jax.random.split(rng)
+
+        losses = rpn_losses(
+            anchors, jnp.concatenate(lg, 1), jnp.concatenate(dl, 1),
+            batch["gt_boxes"], batch["gt_valid"], rng_rpn,
+            self.rpn_matcher, self.rpn_box2box,
+            self.rpn_batch_size, self.rpn_positive_fraction, self.rpn_smooth_l1_beta,
+        )
+        losses = {k: v * self.rpn_loss_weight for k, v in losses.items()}
+
+        prop_boxes, prop_scores, prop_valid = self._proposals(
+            [jax.lax.stop_gradient(x) for x in logits],
+            [jax.lax.stop_gradient(x) for x in deltas],
+            anchors_per_level, (h, w), "train",
+        )
+
+        sample_fn = jax.vmap(
+            lambda rng_i, pb, pv, gb, gc, gv: label_and_sample_proposals(
+                pb, pv, gb, gc, gv, rng_i, self.roi_matcher,
+                self.roi_batch_size, self.roi_positive_fraction,
+                self.num_classes, self.proposal_append_gt,
+            )
+        )
+        sampled = sample_fn(
+            jax.random.split(rng_roi, n), prop_boxes, prop_valid,
+            batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"],
+        )  # dict of (N, S, ...)
+
+        s = sampled["boxes"].shape[1]
+        flat_boxes = sampled["boxes"].reshape(n * s, 4)
+        batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), s)
+        pooled = self._pool(feats, flat_boxes, batch_idx)
+        scores, box_deltas = self.module.apply(
+            variables, pooled, True, method=RCNNNetwork.box_predict
+        )
+        flat_sampled = {k: v.reshape((n * s,) + v.shape[2:]) for k, v in sampled.items()}
+        roi_loss = fast_rcnn_losses(
+            scores, box_deltas, flat_sampled, self.box2box,
+            self.num_classes, self.smooth_l1_beta,
+        )
+        losses.update(roi_loss)
+        total = sum(losses.values())
+        new_stats = mutated.get("batch_stats", batch_stats)
+        return total, (losses, new_stats)
+
+    # -- inference ------------------------------------------------------------
+    def predict_fn(self, variables, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        x = self.normalize(images)
+        n, h, w, _ = x.shape
+        feats, logits, deltas = self.module.apply(
+            variables, x, False, method=RCNNNetwork.backbone_rpn
+        )
+        anchors_per_level = self._anchors_per_level((h, w))
+        prop_boxes, prop_scores, prop_valid = self._proposals(
+            logits, deltas, anchors_per_level, (h, w), "test"
+        )
+        p = prop_boxes.shape[1]
+        flat_boxes = prop_boxes.reshape(n * p, 4)
+        batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), p)
+        pooled = self._pool(feats, flat_boxes, batch_idx)
+        scores, box_deltas = self.module.apply(
+            variables, pooled, False, method=RCNNNetwork.box_predict
+        )
+        scores = scores.reshape(n, p, -1)
+        box_deltas = box_deltas.reshape(n, p, -1)
+
+        infer_fn = jax.vmap(
+            lambda pb, pv, sc, bd: fast_rcnn_inference(
+                pb, pv, sc, bd, self.box2box, self.num_classes, (h, w),
+                self.score_threshold, self.nms_threshold, self.max_detections,
+            )
+        )
+        return infer_fn(prop_boxes, prop_valid, scores, box_deltas)
+
+    # -- host boundary --------------------------------------------------------
+    def postprocess(self, dets, warps, orig_sizes) -> List[Dict[str, Instances]]:
+        boxes = np.asarray(dets["boxes"])
+        scores = np.asarray(dets["scores"])
+        classes = np.asarray(dets["classes"])
+        results = []
+        for i, (oh, ow) in enumerate(orig_sizes):
+            keep = scores[i] > self.score_threshold
+            b, s, c = boxes[i][keep], scores[i][keep], classes[i][keep]
+            if warps is not None:
+                m = np.asarray(warps[i], np.float64)
+                a, t = m[:, :2], m[:, 2]
+                ainv = np.linalg.inv(a)
+                pts = b.reshape(-1, 2) - t
+                b = (pts @ ainv.T).reshape(-1, 4)
+            inst = Instances((oh, ow))
+            bx = Boxes(b.astype(np.float32))
+            bx.clip((oh, ow))
+            inst.pred_boxes = bx
+            inst.scores = s.astype(np.float32)
+            inst.pred_classes = c.astype(np.int64)
+            results.append({"instances": inst})
+        return results
+
+
+@META_ARCH_REGISTRY.register()
+class ProposalNetwork(GeneralizedRCNN):
+    """RPN-only model (reference rcnn.py:261-321): predict_fn returns the
+    proposal boxes/scores as detections (class 0)."""
+
+    def predict_fn(self, variables, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        x = self.normalize(images)
+        n, h, w, _ = x.shape
+        feats, logits, deltas = self.module.apply(
+            variables, x, False, method=RCNNNetwork.backbone_rpn
+        )
+        anchors_per_level = self._anchors_per_level((h, w))
+        boxes, scores, valid = self._proposals(logits, deltas, anchors_per_level, (h, w), "test")
+        return {
+            "boxes": boxes,
+            "scores": jnp.where(valid, jax.nn.sigmoid(scores), 0.0),
+            "classes": jnp.zeros(scores.shape, jnp.int32),
+        }
+
+    def loss_fn(self, params, batch_stats, batch):
+        images = self.normalize(batch["image"])
+        n, h, w, _ = images.shape
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        (feats, logits, deltas), mutated = self.module.apply(
+            variables, images, True, method=RCNNNetwork.backbone_rpn,
+            mutable=["batch_stats"],
+        )
+        anchors = jnp.concatenate(self._anchors_per_level((h, w)), axis=0)
+        lg, dl = self._flatten_rpn(logits, deltas)
+        rng = batch.get("rng", jax.random.PRNGKey(0))
+        losses = rpn_losses(
+            anchors, jnp.concatenate(lg, 1), jnp.concatenate(dl, 1),
+            batch["gt_boxes"], batch["gt_valid"], rng,
+            self.rpn_matcher, self.rpn_box2box,
+            self.rpn_batch_size, self.rpn_positive_fraction, self.rpn_smooth_l1_beta,
+        )
+        total = sum(losses.values())
+        return total, (losses, mutated.get("batch_stats", batch_stats))
