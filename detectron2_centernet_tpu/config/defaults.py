@@ -289,6 +289,9 @@ def _input_defaults() -> CN:
     i.SCALE_RANGE = (0.6, 1.4)
     i.SHIFT_RANGE = 0.1
     i.COLOR_JITTER = True
+    # side of the fixed per-object gt-mask raster the mapper produces when
+    # MODEL.MASK_ON (device crops proposal windows out of it; masks.py)
+    i.MASK_RASTER = 64
     return i
 
 

@@ -32,6 +32,8 @@ class DatasetMapper:
     def __init__(self, cfg: CfgNode, is_train: bool = True) -> None:
         self.is_train = is_train
         self.image_format = cfg.INPUT.FORMAT
+        self.mask_on = bool(cfg.MODEL.MASK_ON)
+        self.mask_raster = int(cfg.INPUT.MASK_RASTER)
         self.max_objs = int(cfg.MODEL.CENTERNET.MAX_OBJS)
         self.train_size = tuple(cfg.INPUT.TRAIN_SIZE)
         self.test_size = tuple(cfg.INPUT.TEST_SIZE)
@@ -85,8 +87,30 @@ class DatasetMapper:
             ]
             boxes, classes = utils.annotations_to_boxes(annos)
             boxes = utils.apply_affine_to_boxes(m, boxes)
-            np.clip(boxes[:, 0::2], 0, out_size[1] - 1, out=boxes[:, 0::2]) if len(boxes) else None
-            np.clip(boxes[:, 1::2], 0, out_size[0] - 1, out=boxes[:, 1::2]) if len(boxes) else None
-            boxes, classes = utils.filter_empty_boxes(boxes, classes)
+            if len(boxes):
+                np.clip(boxes[:, 0::2], 0, out_size[1] - 1, out=boxes[:, 0::2])
+                np.clip(boxes[:, 1::2], 0, out_size[0] - 1, out=boxes[:, 1::2])
+            keep = (boxes[:, 2] - boxes[:, 0] > 1e-5) & (boxes[:, 3] - boxes[:, 1] > 1e-5)
+            boxes, classes = boxes[keep], classes[keep]
             out.update(utils.pad_to_capacity(boxes, classes, self.max_objs))
+
+            if self.mask_on:
+                # fixed-size gt-box-relative rasters; polygons go through the
+                # same affine as the boxes (structures/masks.py docstring)
+                from ..structures.masks import rasterize_in_box
+
+                r = self.mask_raster
+                rasters = np.zeros((self.max_objs, r, r), np.uint8)
+                kept_annos = [a for a, k in zip(annos, keep) if k][: self.max_objs]
+                for i, (a, box) in enumerate(zip(kept_annos, boxes)):
+                    segm = a.get("segmentation")
+                    if not segm or isinstance(segm, dict):
+                        continue
+                    polys = []
+                    for p in segm:
+                        pts = np.asarray(p, np.float64).reshape(-1, 2)
+                        pts = utils.apply_affine_to_points(m, pts)
+                        polys.append(pts.reshape(-1))
+                    rasters[i] = (rasterize_in_box(polys, box, r) > 0.5).astype(np.uint8)
+                out["gt_masks"] = rasters
         return out

@@ -36,6 +36,11 @@ from ..proposal_generator.rpn import (
 )
 from ..registry import BACKBONE_REGISTRY, META_ARCH_REGISTRY
 from ..roi_heads.box_head import FastRCNNConvFCHead, FastRCNNOutputLayers
+from ..roi_heads.mask_head import (
+    MaskRCNNConvUpsampleHead,
+    crop_gt_masks,
+    mask_rcnn_loss,
+)
 from ..roi_heads.roi_heads import (
     fast_rcnn_inference,
     fast_rcnn_losses,
@@ -58,6 +63,10 @@ class RCNNNetwork(nn.Module):
     fc_dim: int
     cls_agnostic: bool
     pooler_resolution: int = 7
+    mask_on: bool = False
+    mask_num_conv: int = 4
+    mask_conv_dim: int = 256
+    mask_pooler_resolution: int = 14
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -70,6 +79,11 @@ class RCNNNetwork(nn.Module):
         self.box_predictor = FastRCNNOutputLayers(
             self.num_classes, cls_agnostic_bbox_reg=self.cls_agnostic, dtype=self.dtype
         )
+        if self.mask_on:
+            self.mask_head = MaskRCNNConvUpsampleHead(
+                self.num_classes, num_conv=self.mask_num_conv,
+                conv_dim=self.mask_conv_dim, dtype=self.dtype,
+            )
 
     def backbone_rpn(self, images, train: bool = False):
         feats = self.backbone(images, train)
@@ -85,6 +99,10 @@ class RCNNNetwork(nn.Module):
             x = pooled  # Res5 path pools after the res5 stage; see meta-arch
         return self.box_predictor(x)
 
+    def mask_predict(self, pooled, train: bool = False):
+        """pooled (R, P, P, C) -> (R, 2P, 2P, num_classes) mask logits."""
+        return self.mask_head(pooled, train)
+
     def __call__(self, images, train: bool = False):
         # init path: trace every submodule once
         feats, logits, deltas = self.backbone_rpn(images, train)
@@ -93,6 +111,9 @@ class RCNNNetwork(nn.Module):
         p = self.pooler_resolution
         dummy_pooled = jnp.zeros((1, p, p, c), f0.dtype)
         self.box_predict(dummy_pooled, train)
+        if self.mask_on:
+            mp = self.mask_pooler_resolution
+            self.mask_predict(jnp.zeros((1, mp, mp, c), f0.dtype), train)
         return logits
 
 
@@ -140,6 +161,10 @@ class GeneralizedRCNN:
         self.max_detections = int(cfg.TEST.DETECTIONS_PER_IMAGE)
         self.proposal_append_gt = bool(rh.PROPOSAL_APPEND_GT)
 
+        self.mask_on = bool(cfg.MODEL.MASK_ON)
+        mh = cfg.MODEL.ROI_MASK_HEAD
+        self.mask_pooler_resolution = int(mh.POOLER_RESOLUTION)
+
         bh = cfg.MODEL.ROI_BOX_HEAD
         self.box2box = Box2BoxTransform(tuple(bh.BBOX_REG_WEIGHTS))
         self.smooth_l1_beta = float(bh.SMOOTH_L1_BETA)
@@ -158,6 +183,10 @@ class GeneralizedRCNN:
             fc_dim=int(bh.FC_DIM),
             cls_agnostic=bool(bh.CLS_AGNOSTIC_BBOX_REG),
             pooler_resolution=int(bh.POOLER_RESOLUTION),
+            mask_on=self.mask_on,
+            mask_num_conv=int(mh.NUM_CONV) or 4,
+            mask_conv_dim=int(mh.CONV_DIM),
+            mask_pooler_resolution=int(mh.POOLER_RESOLUTION),
             dtype=dtype,
         )
 
@@ -189,17 +218,18 @@ class GeneralizedRCNN:
             post_nms_topk=self.post_nms_topk[mode],
         )
 
-    def _pool(self, feats: Dict[str, jnp.ndarray], boxes: jnp.ndarray, batch_idx: jnp.ndarray):
+    def _pool(self, feats: Dict[str, jnp.ndarray], boxes: jnp.ndarray, batch_idx: jnp.ndarray, resolution=None):
         """boxes (R, 4) input coords + batch_idx (R,) -> pooled (R, P, P, C)."""
+        resolution = resolution or self.pooler_resolution
         if len(self.roi_in_features) == 1:
             f = self.roi_in_features[0]
             return roi_align(
                 feats[f], boxes, batch_idx, 1.0 / self.roi_strides[0],
-                self.pooler_resolution, self.pooler_sampling_ratio,
+                resolution, self.pooler_sampling_ratio,
             )
         return multilevel_roi_align(
             [feats[f] for f in self.roi_in_features], self.roi_strides,
-            boxes, batch_idx, self.pooler_resolution, self.pooler_sampling_ratio,
+            boxes, batch_idx, resolution, self.pooler_sampling_ratio,
         )
 
     # -- training -------------------------------------------------------------
@@ -260,6 +290,30 @@ class GeneralizedRCNN:
             self.num_classes, self.smooth_l1_beta,
         )
         losses.update(roi_loss)
+
+        if self.mask_on and "gt_masks" in batch:
+            mask_pooled = self._pool(
+                feats, flat_boxes, batch_idx, self.mask_pooler_resolution
+            )
+            mask_logits = self.module.apply(
+                variables, mask_pooled, True, method=RCNNNetwork.mask_predict
+            )  # (N*S, 2P, 2P, C)
+            crop_fn = jax.vmap(
+                lambda rasters, gb, midx, rois: crop_gt_masks(
+                    rasters.astype(jnp.float32), gb, midx, rois,
+                    mask_logits.shape[1],
+                )
+            )
+            gt_crop = crop_fn(
+                batch["gt_masks"], batch["gt_boxes"],
+                sampled["matched_idx"], sampled["boxes"],
+            ).reshape(n * s, mask_logits.shape[1], mask_logits.shape[2])
+            fg = (
+                flat_sampled["is_pos"] & (flat_sampled["weights"] > 0)
+            ).astype(jnp.float32)
+            losses["loss_mask"] = mask_rcnn_loss(
+                mask_logits, gt_crop, flat_sampled["classes"], fg
+            )
         total = sum(losses.values())
         new_stats = mutated.get("batch_stats", batch_stats)
         return total, (losses, new_stats)
@@ -291,13 +345,33 @@ class GeneralizedRCNN:
                 self.score_threshold, self.nms_threshold, self.max_detections,
             )
         )
-        return infer_fn(prop_boxes, prop_valid, scores, box_deltas)
+        dets = infer_fn(prop_boxes, prop_valid, scores, box_deltas)
+        if self.mask_on:
+            k = dets["boxes"].shape[1]
+            det_boxes = dets["boxes"].reshape(n * k, 4)
+            det_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+            mask_pooled = self._pool(
+                feats, det_boxes, det_idx, self.mask_pooler_resolution
+            )
+            mask_logits = self.module.apply(
+                variables, mask_pooled, False, method=RCNNNetwork.mask_predict
+            )
+            cls = jnp.clip(dets["classes"].reshape(n * k), 0, self.num_classes - 1)
+            sel = jnp.take_along_axis(
+                mask_logits, cls[:, None, None, None], axis=3
+            )[..., 0]
+            p2 = sel.shape[-1]
+            dets["masks"] = jax.nn.sigmoid(sel).reshape(n, k, p2, p2)
+        return dets
 
     # -- host boundary --------------------------------------------------------
     def postprocess(self, dets, warps, orig_sizes) -> List[Dict[str, Instances]]:
+        from ...structures.masks import paste_masks_in_image
+
         boxes = np.asarray(dets["boxes"])
         scores = np.asarray(dets["scores"])
         classes = np.asarray(dets["classes"])
+        masks = np.asarray(dets["masks"]) if "masks" in dets else None
         results = []
         for i, (oh, ow) in enumerate(orig_sizes):
             keep = scores[i] > self.score_threshold
@@ -314,6 +388,10 @@ class GeneralizedRCNN:
             inst.pred_boxes = bx
             inst.scores = s.astype(np.float32)
             inst.pred_classes = c.astype(np.int64)
+            if masks is not None:
+                inst.pred_masks = paste_masks_in_image(
+                    masks[i][keep], np.asarray(bx.tensor), (oh, ow)
+                )
             results.append({"instances": inst})
         return results
 

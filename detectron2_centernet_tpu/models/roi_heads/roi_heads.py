@@ -73,6 +73,7 @@ def label_and_sample_proposals(
         "classes": cls,
         "weights": weights,
         "target_boxes": target_boxes,
+        "matched_idx": matched,
         "is_pos": sel_s == 1,
     }
 
