@@ -173,7 +173,20 @@ class DefaultTrainer(SimpleTrainer):
         cfg = DefaultTrainer.auto_scale_workers(cfg, comm.get_world_size())
         self.cfg = cfg
         model = self.build_model(cfg)
-        self.mesh = get_mesh(cfg.TPU.NUM_DEVICES, cfg.TPU.MESH_AXIS)
+        num_devices = cfg.TPU.NUM_DEVICES
+        per_process = cfg.SOLVER.IMS_PER_BATCH // comm.get_world_size()
+        if num_devices in (-1, 0):
+            # the data axis must divide the per-process batch
+            num_devices = len(jax.devices())
+            while per_process % num_devices:
+                num_devices -= 1
+            if num_devices < len(jax.devices()):
+                logger.warning(
+                    "IMS_PER_BATCH/process (%d) not divisible by %d devices; "
+                    "using a %d-device mesh.",
+                    per_process, len(jax.devices()), num_devices,
+                )
+        self.mesh = get_mesh(num_devices, cfg.TPU.MESH_AXIS)
         set_global_mesh(self.mesh)
 
         state, tx = create_train_state(cfg, model, jax.random.PRNGKey(max(cfg.SEED, 0)))
