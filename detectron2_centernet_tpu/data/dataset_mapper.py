@@ -113,4 +113,20 @@ class DatasetMapper:
                         polys.append(pts.reshape(-1))
                     rasters[i] = (rasterize_in_box(polys, box, r) > 0.5).astype(np.uint8)
                 out["gt_masks"] = rasters
+
+            # semantic segmentation targets (reference dataset_mapper.py:140-150)
+            sem = dataset_dict.get("sem_seg")
+            if sem is None and "sem_seg_file_name" in dataset_dict:
+                from PIL import Image
+
+                sem = np.asarray(Image.open(dataset_dict["sem_seg_file_name"]))
+            if sem is not None:
+                import cv2
+
+                warped_sem = cv2.warpAffine(
+                    np.asarray(sem, np.float64), m.astype(np.float64),
+                    (out_size[1], out_size[0]),
+                    flags=cv2.INTER_NEAREST, borderValue=255,
+                )
+                out["sem_seg"] = warped_sem.astype(np.int32)
         return out

@@ -1,0 +1,71 @@
+"""SemanticSegmentor / PanopticFPN shape + loss contracts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detectron2_centernet_tpu.config import get_cfg
+from detectron2_centernet_tpu.models import build_model
+from detectron2_centernet_tpu.models.meta_arch.panoptic_fpn import (
+    combine_semantic_and_instance_outputs,
+)
+from detectron2_centernet_tpu.models.meta_arch.semantic_seg import sem_seg_loss
+from detectron2_centernet_tpu.structures import Boxes, Instances
+
+
+def _fpn_cfg():
+    cfg = get_cfg()
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.OUT_CHANNELS = 32
+    cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 6
+    cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM = 16
+    cfg.TPU.DTYPE = "float32"
+    return cfg
+
+
+def test_sem_seg_loss_ignore():
+    logits = jnp.zeros((1, 4, 4, 3))
+    targets = jnp.full((1, 4, 4), 255, jnp.int32)
+    loss = sem_seg_loss(logits, targets)
+    assert float(loss) == 0.0
+    targets2 = jnp.zeros((1, 4, 4), jnp.int32)
+    loss2 = sem_seg_loss(logits, targets2)
+    np.testing.assert_allclose(float(loss2), np.log(3), rtol=1e-5)
+
+
+def test_semantic_segmentor_shapes():
+    cfg = _fpn_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "SemanticSegmentor"
+    m = build_model(cfg)
+    v = m.init(jax.random.PRNGKey(0), (64, 64))
+    out = m.predict_fn(v, jnp.zeros((2, 64, 64, 3)))
+    assert out["sem_seg"].shape == (2, 64, 64, 6)
+    batch = {
+        "image": jnp.zeros((2, 64, 64, 3)),
+        "sem_seg": jnp.zeros((2, 64, 64), jnp.int32),
+    }
+    total, (ld, _) = m.loss_fn(v["params"], v.get("batch_stats", {}), batch)
+    assert np.isfinite(float(total)) and "loss_sem_seg" in ld
+
+
+def test_panoptic_combine():
+    inst = Instances((10, 10))
+    inst.scores = np.asarray([0.9])
+    inst.pred_classes = np.asarray([3])
+    inst.pred_boxes = Boxes(np.asarray([[0, 0, 5, 5]], np.float32))
+    masks = np.zeros((1, 10, 10), bool)
+    masks[0, :5, :5] = True
+    inst.pred_masks = masks
+    sem = np.zeros((10, 10), np.int64)
+    sem[5:, :] = 2  # stuff class with area 50
+    pan, info = combine_semantic_and_instance_outputs(inst, sem, 0.5, 10, 0.5)
+    assert len(info) == 2
+    thing = [s for s in info if s["isthing"]][0]
+    stuff = [s for s in info if not s["isthing"]][0]
+    assert pan[2, 2] == thing["id"]
+    assert pan[7, 7] == stuff["id"]
+    assert stuff["category_id"] == 2
