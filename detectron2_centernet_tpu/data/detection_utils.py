@@ -116,6 +116,15 @@ def apply_affine_to_boxes(m: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     return np.concatenate([lo, hi], axis=1)
 
 
+def unwarp_boxes(m: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """Map XYXY boxes from warped (network-input) space back to source space
+    through the inverse of a 2x3 warp, reordering corners (mirrored warps
+    swap them)."""
+    if len(boxes) == 0:
+        return boxes
+    return apply_affine_to_boxes(invert_affine(np.asarray(m, np.float64)), boxes)
+
+
 def warp_image(image: np.ndarray, m: np.ndarray, out_size: Tuple[int, int]) -> np.ndarray:
     """Apply the 2x3 affine with bilinear sampling (cv2.warpAffine)."""
     import cv2
@@ -124,6 +133,27 @@ def warp_image(image: np.ndarray, m: np.ndarray, out_size: Tuple[int, int]) -> n
     return cv2.warpAffine(
         image, m.astype(np.float64), (out_w, out_h), flags=cv2.INTER_LINEAR
     )
+
+
+def letterbox_and_flip_variants(image: np.ndarray, sizes, flip: bool):
+    """Yield (warped f32 image, warp matrix, flipped?, size) for each TTA
+    variant: one square letterbox per size, plus the horizontal flip of each
+    (models/test_time_augmentation.py).  The flip is composed INTO the warp
+    matrix, so inverting the matrix un-maps flipped detections too — no
+    separate unflip step (and no portrait/landscape asymmetry)."""
+    h, w = image.shape[:2]
+    for size in sizes:
+        m = get_affine_transform(
+            np.array([w / 2.0, h / 2.0]), float(max(h, w)), (size, size)
+        )
+        img_f32 = image.astype(np.float32)
+        yield warp_image(img_f32, m, (size, size)), m, False, size
+        if flip:
+            f = np.array([[-1.0, 0.0, size - 1.0], [0.0, 1.0, 0.0]])
+            mf = np.concatenate(
+                [f[:, :2] @ m[:, :2], (f[:, :2] @ m[:, 2] + f[:, 2])[:, None]], axis=1
+            )
+            yield warp_image(img_f32, mf, (size, size)), mf, True, size
 
 
 # ---------------------------------------------------------------------------

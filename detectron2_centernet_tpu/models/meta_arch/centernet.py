@@ -315,12 +315,9 @@ class CenterNet:
             b, s, c = b[keep], s[keep], c[keep]
             if warps is not None:
                 # boxes are in network-input pixels; invert the affine warp
-                m = np.asarray(warps[i], np.float64)  # (2, 3): in = M @ [orig, 1]
-                a = m[:, :2]
-                t = m[:, 2]
-                ainv = np.linalg.inv(a)
-                pts = b.reshape(-1, 2) - t
-                b = (pts @ ainv.T).reshape(-1, 4)
+                from ...data.detection_utils import unwarp_boxes
+
+                b = unwarp_boxes(warps[i], b)
             inst = Instances((oh, ow))
             bx = Boxes(b.astype(np.float32))
             bx.clip((oh, ow))

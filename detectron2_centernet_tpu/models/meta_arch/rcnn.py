@@ -377,11 +377,9 @@ class GeneralizedRCNN:
             keep = scores[i] > self.score_threshold
             b, s, c = boxes[i][keep], scores[i][keep], classes[i][keep]
             if warps is not None:
-                m = np.asarray(warps[i], np.float64)
-                a, t = m[:, :2], m[:, 2]
-                ainv = np.linalg.inv(a)
-                pts = b.reshape(-1, 2) - t
-                b = (pts @ ainv.T).reshape(-1, 4)
+                from ...data.detection_utils import unwarp_boxes
+
+                b = unwarp_boxes(warps[i], b)
             inst = Instances((oh, ow))
             bx = Boxes(b.astype(np.float32))
             bx.clip((oh, ow))
