@@ -34,6 +34,7 @@ from ..proposal_generator.rpn import (
     find_top_rpn_proposals,
     rpn_losses,
 )
+from ..backbones.resnet import RESNET_SPECS, BottleneckBlock
 from ..registry import BACKBONE_REGISTRY, META_ARCH_REGISTRY
 from ..roi_heads.box_head import FastRCNNConvFCHead, FastRCNNOutputLayers
 from ..roi_heads.mask_head import (
@@ -67,18 +68,55 @@ class RCNNNetwork(nn.Module):
     mask_num_conv: int = 4
     mask_conv_dim: int = 256
     mask_pooler_resolution: int = 14
+    # Res5ROIHeads (C4): the res5 stage runs on pooled 14x14 rois
+    # (reference roi_heads.py:345-475)
+    res5_reps: int = 3
+    res5_out_channels: int = 2048
+    res5_bottleneck_channels: int = 512
+    res5_stride_in_1x1: bool = True
+    res5_norm: str = "FrozenBN"
+    # CascadeROIHeads (reference cascade_rcnn.py:32): one head+predictor per
+    # stage, class-agnostic box regression
+    cascade_stages: int = 3
     dtype: Any = jnp.float32
 
     def setup(self):
         self.rpn_head = StandardRPNHead(self.num_anchors, dtype=self.dtype)
-        if self.roi_type == "standard":
-            self.box_head = FastRCNNConvFCHead(
-                num_conv=self.num_conv, conv_dim=self.conv_dim,
-                num_fc=self.num_fc, fc_dim=self.fc_dim, dtype=self.dtype,
+        if self.roi_type == "cascade":
+            self.box_heads = [
+                FastRCNNConvFCHead(
+                    num_conv=self.num_conv, conv_dim=self.conv_dim,
+                    num_fc=self.num_fc, fc_dim=self.fc_dim, dtype=self.dtype,
+                    name=f"box_head_stage{i}",
+                )
+                for i in range(self.cascade_stages)
+            ]
+            self.box_predictors = [
+                FastRCNNOutputLayers(
+                    self.num_classes, cls_agnostic_bbox_reg=True,
+                    dtype=self.dtype, name=f"box_predictor_stage{i}",
+                )
+                for i in range(self.cascade_stages)
+            ]
+        else:
+            if self.roi_type == "standard":
+                self.box_head = FastRCNNConvFCHead(
+                    num_conv=self.num_conv, conv_dim=self.conv_dim,
+                    num_fc=self.num_fc, fc_dim=self.fc_dim, dtype=self.dtype,
+                )
+            self.box_predictor = FastRCNNOutputLayers(
+                self.num_classes, cls_agnostic_bbox_reg=self.cls_agnostic, dtype=self.dtype
             )
-        self.box_predictor = FastRCNNOutputLayers(
-            self.num_classes, cls_agnostic_bbox_reg=self.cls_agnostic, dtype=self.dtype
-        )
+        if self.roi_type == "res5":
+            self.res5_blocks = [
+                BottleneckBlock(
+                    self.res5_out_channels, self.res5_bottleneck_channels,
+                    stride=2 if b == 0 else 1,
+                    stride_in_1x1=self.res5_stride_in_1x1,
+                    norm=self.res5_norm, dtype=self.dtype, name=f"res5_block{b}",
+                )
+                for b in range(self.res5_reps)
+            ]
         if self.mask_on:
             self.mask_head = MaskRCNNConvUpsampleHead(
                 self.num_classes, num_conv=self.mask_num_conv,
@@ -91,12 +129,19 @@ class RCNNNetwork(nn.Module):
         logits, deltas = self.rpn_head(rpn_feats)
         return feats, logits, deltas
 
-    def box_predict(self, pooled, train: bool = False):
+    def box_predict(self, pooled, train: bool = False, stage: int = 0):
         """pooled (R, P, P, C) -> (scores, deltas)."""
+        if self.roi_type == "cascade":
+            x = self.box_heads[stage](pooled, train)
+            return self.box_predictors[stage](x)
         if self.roi_type == "standard":
             x = self.box_head(pooled, train)
         else:
-            x = pooled  # Res5 path pools after the res5 stage; see meta-arch
+            # C4: run the res5 stage on the 14x14 pooled rois; the predictor
+            # global-avg-pools its 7x7 output (reference roi_heads.py:430-459)
+            x = pooled
+            for block in self.res5_blocks:
+                x = block(x, train)
         return self.box_predictor(x)
 
     def mask_predict(self, pooled, train: bool = False):
@@ -110,7 +155,11 @@ class RCNNNetwork(nn.Module):
         c = f0.shape[-1]
         p = self.pooler_resolution
         dummy_pooled = jnp.zeros((1, p, p, c), f0.dtype)
-        self.box_predict(dummy_pooled, train)
+        if self.roi_type == "cascade":
+            for i in range(self.cascade_stages):
+                self.box_predict(dummy_pooled, train, stage=i)
+        else:
+            self.box_predict(dummy_pooled, train)
         if self.mask_on:
             mp = self.mask_pooler_resolution
             self.mask_predict(jnp.zeros((1, mp, mp, c), f0.dtype), train)
@@ -149,7 +198,13 @@ class GeneralizedRCNN:
         self.rpn_loss_weight = float(r.LOSS_WEIGHT)
 
         rh = cfg.MODEL.ROI_HEADS
-        self.roi_type = "standard" if rh.NAME == "StandardROIHeads" else "res5"
+        self.roi_type = {
+            "StandardROIHeads": "standard",
+            "CascadeROIHeads": "cascade",
+        }.get(rh.NAME, "res5")
+        ch = cfg.MODEL.ROI_BOX_CASCADE_HEAD
+        self.cascade_ious = list(ch.IOUS)
+        self.cascade_weights = [Box2BoxTransform(tuple(w)) for w in ch.BBOX_REG_WEIGHTS]
         self.roi_in_features = tuple(rh.IN_FEATURES)
         self.roi_strides = [strides_map[f] for f in self.roi_in_features]
         self.roi_matcher = Matcher(list(rh.IOU_THRESHOLDS), list(rh.IOU_LABELS),
@@ -183,6 +238,13 @@ class GeneralizedRCNN:
             fc_dim=int(bh.FC_DIM),
             cls_agnostic=bool(bh.CLS_AGNOSTIC_BBOX_REG),
             pooler_resolution=int(bh.POOLER_RESOLUTION),
+            res5_reps=RESNET_SPECS.get(cfg.MODEL.RESNETS.DEPTH, ("bottleneck", (3, 4, 6, 3)))[1][3],
+            res5_out_channels=cfg.MODEL.RESNETS.RES2_OUT_CHANNELS * 8,
+            res5_bottleneck_channels=cfg.MODEL.RESNETS.NUM_GROUPS
+            * cfg.MODEL.RESNETS.WIDTH_PER_GROUP * 8,
+            res5_stride_in_1x1=bool(cfg.MODEL.RESNETS.STRIDE_IN_1X1),
+            res5_norm=cfg.MODEL.RESNETS.NORM,
+            cascade_stages=len(self.cascade_ious),
             mask_on=self.mask_on,
             mask_num_conv=int(mh.NUM_CONV) or 4,
             mask_conv_dim=int(mh.CONV_DIM),
@@ -232,6 +294,36 @@ class GeneralizedRCNN:
             boxes, batch_idx, resolution, self.pooler_sampling_ratio,
         )
 
+    def _cascade_relabel(self, boxes, gt_boxes, gt_classes, gt_valid, weights, iou_thr):
+        """Re-label refined boxes vs gt at ``iou_thr`` (reference
+        _match_and_label_boxes, cascade_rcnn.py:174-215). Returns a
+        flat sampled-dict; padding slots keep weight 0."""
+        from ...ops.nms import pairwise_iou_xyxy
+
+        n, s_slots, _ = boxes.shape
+
+        def per_image(b, gb, gc, gv):
+            iou = pairwise_iou_xyxy(gb, b)  # (M, S)
+            iou = jnp.where(gv[:, None], iou, -1.0)
+            matched = jnp.argmax(iou, axis=0)
+            best = jnp.max(iou, axis=0)
+            is_pos = best >= iou_thr
+            cls = jnp.where(is_pos, gc[matched].astype(jnp.int32), self.num_classes)
+            return cls, gb[matched], matched, is_pos
+
+        cls, tgt, midx, is_pos = jax.vmap(per_image)(
+            boxes, gt_boxes, gt_classes, gt_valid
+        )
+        flat = lambda x: x.reshape((n * s_slots,) + x.shape[2:])
+        return {
+            "boxes": flat(boxes),
+            "classes": flat(cls),
+            "weights": flat(weights),
+            "target_boxes": flat(tgt),
+            "matched_idx": flat(midx),
+            "is_pos": flat(is_pos),
+        }
+
     # -- training -------------------------------------------------------------
     def loss_fn(self, params, batch_stats, batch):
         images = self.normalize(batch["image"])
@@ -278,18 +370,45 @@ class GeneralizedRCNN:
         )  # dict of (N, S, ...)
 
         s = sampled["boxes"].shape[1]
-        flat_boxes = sampled["boxes"].reshape(n * s, 4)
         batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), s)
-        pooled = self._pool(feats, flat_boxes, batch_idx)
-        scores, box_deltas = self.module.apply(
-            variables, pooled, True, method=RCNNNetwork.box_predict
-        )
         flat_sampled = {k: v.reshape((n * s,) + v.shape[2:]) for k, v in sampled.items()}
-        roi_loss = fast_rcnn_losses(
-            scores, box_deltas, flat_sampled, self.box2box,
-            self.num_classes, self.smooth_l1_beta,
-        )
-        losses.update(roi_loss)
+
+        if self.roi_type == "cascade":
+            # reference CascadeROIHeads (cascade_rcnn.py:96-172): stage 0
+            # trains on the sampled rois; later stages on the previous
+            # stage's refined boxes, re-labeled at increasing IoU
+            cur = sampled["boxes"]  # (N, S, 4)
+            cur_sampled = dict(flat_sampled)
+            for t, (iou_t, b2b) in enumerate(zip(self.cascade_ious, self.cascade_weights)):
+                if t > 0:
+                    cur_sampled = self._cascade_relabel(
+                        cur, batch["gt_boxes"], batch["gt_classes"],
+                        batch["gt_valid"], flat_sampled["weights"].reshape(n, s),
+                        iou_t,
+                    )
+                pooled = self._pool(feats, cur.reshape(n * s, 4), batch_idx)
+                scores, deltas4 = self.module.apply(
+                    variables, pooled, True, method=RCNNNetwork.box_predict,
+                    stage=t,
+                )
+                stage_loss = fast_rcnn_losses(
+                    scores, deltas4, cur_sampled, b2b,
+                    self.num_classes, self.smooth_l1_beta,
+                )
+                losses.update({f"{k}_stage{t}": v for k, v in stage_loss.items()})
+                refined = b2b.apply_deltas(deltas4, cur.reshape(n * s, 4))
+                cur = jax.lax.stop_gradient(refined).reshape(n, s, 4)
+        else:
+            pooled = self._pool(feats, sampled["boxes"].reshape(n * s, 4), batch_idx)
+            scores, box_deltas = self.module.apply(
+                variables, pooled, True, method=RCNNNetwork.box_predict
+            )
+            roi_loss = fast_rcnn_losses(
+                scores, box_deltas, flat_sampled, self.box2box,
+                self.num_classes, self.smooth_l1_beta,
+            )
+            losses.update(roi_loss)
+        flat_boxes = sampled["boxes"].reshape(n * s, 4)
 
         if self.mask_on and "gt_masks" in batch:
             mask_pooled = self._pool(
@@ -330,14 +449,32 @@ class GeneralizedRCNN:
             logits, deltas, anchors_per_level, (h, w), "test"
         )
         p = prop_boxes.shape[1]
-        flat_boxes = prop_boxes.reshape(n * p, 4)
         batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), p)
-        pooled = self._pool(feats, flat_boxes, batch_idx)
-        scores, box_deltas = self.module.apply(
-            variables, pooled, False, method=RCNNNetwork.box_predict
-        )
-        scores = scores.reshape(n, p, -1)
-        box_deltas = box_deltas.reshape(n, p, -1)
+        if self.roi_type == "cascade":
+            # run all stages; average stage scores, keep final refined boxes
+            cur = prop_boxes
+            stage_scores = []
+            for t, b2b in enumerate(self.cascade_weights):
+                pooled = self._pool(feats, cur.reshape(n * p, 4), batch_idx)
+                sc, deltas4 = self.module.apply(
+                    variables, pooled, False, method=RCNNNetwork.box_predict,
+                    stage=t,
+                )
+                stage_scores.append(jax.nn.softmax(sc, axis=-1))
+                cur = b2b.apply_deltas(deltas4, cur.reshape(n * p, 4)).reshape(n, p, 4)
+            mean_probs = sum(stage_scores) / len(stage_scores)
+            # feed log-probs so fast_rcnn_inference's softmax recovers them
+            scores = jnp.log(jnp.maximum(mean_probs, 1e-12)).reshape(n, p, -1)
+            box_deltas = jnp.zeros((n, p, 4), jnp.float32)
+            prop_boxes = cur
+        else:
+            pooled = self._pool(feats, prop_boxes.reshape(n * p, 4), batch_idx)
+            scores, box_deltas = self.module.apply(
+                variables, pooled, False, method=RCNNNetwork.box_predict
+            )
+            scores = scores.reshape(n, p, -1)
+            box_deltas = box_deltas.reshape(n, p, -1)
+        flat_boxes = prop_boxes.reshape(n * p, 4)
 
         infer_fn = jax.vmap(
             lambda pb, pv, sc, bd: fast_rcnn_inference(
