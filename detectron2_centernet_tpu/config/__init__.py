@@ -8,9 +8,10 @@ import functools
 import inspect
 
 from .cfgnode import CfgNode
+from .compat import downgrade_config, upgrade_config
 from .defaults import build_default_cfg
 
-__all__ = ["CfgNode", "get_cfg", "global_cfg", "set_global_cfg", "configurable"]
+__all__ = ["CfgNode", "configurable", "downgrade_config", "get_cfg", "global_cfg", "set_global_cfg", "upgrade_config"]
 
 
 def get_cfg() -> CfgNode:

@@ -140,9 +140,17 @@ class CfgNode(dict):
         """Merge a YAML file, resolving ``_BASE_`` inheritance recursively."""
         loaded = _load_yaml_with_base(cfg_filename)
         loaded = CfgNode(loaded)
-        # Version check mirrors the reference's merge_from_file
-        # (detectron2/config/config.py:36-66); we accept VERSION 1/2 or absent.
-        loaded.pop("VERSION", None)
+        # Auto-upgrade old configs, mirroring the reference's merge_from_file
+        # (detectron2/config/config.py:36-66) + compat.py converters.
+        from .compat import guess_version, upgrade_config
+
+        version = loaded.pop("VERSION", None)
+        if version is None:
+            version = guess_version(loaded, cfg_filename)
+        if version < 2:
+            loaded["VERSION"] = version
+            loaded = upgrade_config(loaded)
+            loaded.pop("VERSION", None)
         _merge_into(loaded, self, [])
 
     def merge_from_list(self, cfg_list: List[str]) -> None:

