@@ -9,6 +9,11 @@ from .boxes import (
 from .image_batch import ImageBatch, pad_to_divisibility
 from .instances import Instances
 from .keypoints import Keypoints, heatmaps_to_keypoints, keypoints_to_heatmap_targets
+from .rotated_boxes import (
+    RotatedBoxes,
+    nms_rotated,
+    pairwise_iou_rotated,
+)
 from .masks import (
     BitMasks,
     PolygonMasks,
@@ -25,9 +30,12 @@ __all__ = [
     "Instances",
     "Keypoints",
     "PolygonMasks",
+    "RotatedBoxes",
     "heatmaps_to_keypoints",
     "keypoints_to_heatmap_targets",
     "matched_boxlist_iou",
+    "nms_rotated",
+    "pairwise_iou_rotated",
     "pad_to_divisibility",
     "pairwise_intersection",
     "pairwise_ioa",
