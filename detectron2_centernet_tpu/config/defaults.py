@@ -374,6 +374,10 @@ def _tpu_defaults() -> CN:
     t.MESH_AXIS = "data"
     # Number of devices to shard over; -1 = all local devices.
     t.NUM_DEVICES = -1
+    # Deformable-conv offset window (pixels at feature resolution): offsets
+    # are clamped to [-W, W] and sampling uses the blocked patch-gather fast
+    # path (ops/deform_conv.py). 0 = exact unbounded offsets (slower).
+    t.DCN_WINDOW = 4
     return t
 
 

@@ -190,6 +190,7 @@ class IDAUp(nn.Module):
 
     features: int
     up_factors: Sequence[int]  # factor per processed level (index 1..)
+    dcn_window: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -197,13 +198,13 @@ class IDAUp(nn.Module):
         layers = list(layers)
         for i in range(startp + 1, endp):
             j = i - startp
-            p = DeformConvV2(self.features, dtype=self.dtype, name=f"proj_{j}")(
-                layers[i], train
-            )
+            p = DeformConvV2(
+                self.features, window=self.dcn_window, dtype=self.dtype, name=f"proj_{j}"
+            )(layers[i], train)
             up = BilinearUpsample(int(self.up_factors[j]), dtype=self.dtype, name=f"up_{j}")(p)
-            layers[i] = DeformConvV2(self.features, dtype=self.dtype, name=f"node_{j}")(
-                up + layers[i - 1], train
-            )
+            layers[i] = DeformConvV2(
+                self.features, window=self.dcn_window, dtype=self.dtype, name=f"node_{j}"
+            )(up + layers[i - 1], train)
         return layers
 
 
@@ -213,6 +214,7 @@ class DLAUp(nn.Module):
     startp: int
     channels: Sequence[int]
     scales: Sequence[int]
+    dcn_window: int = 0
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -228,6 +230,7 @@ class DLAUp(nn.Module):
                 IDAUp(
                     channels[j],
                     [s // scales[j] for s in scales[j:]],
+                    dcn_window=self.dcn_window,
                     dtype=self.dtype,
                     name=f"ida_{i}",
                 )
@@ -258,6 +261,7 @@ class DLA34(nn.Module):
     channels: Sequence[int] = (16, 32, 64, 128, 256, 512)
     down_ratio: int = 4
     last_level: int = 5
+    dcn_window: int = 0
     dtype: Any = jnp.float32
 
     @property
@@ -273,13 +277,15 @@ class DLA34(nn.Module):
         fl = self.first_level
         feats = DLATrunk(self.levels, self.channels, dtype=self.dtype, name="base")(x, train)
         scales = [2 ** i for i in range(len(self.channels) - fl)]
-        pyramid = DLAUp(fl, self.channels[fl:], scales, dtype=self.dtype, name="dla_up")(
-            feats[fl:], train
-        )
+        pyramid = DLAUp(
+            fl, self.channels[fl:], scales, dcn_window=self.dcn_window,
+            dtype=self.dtype, name="dla_up",
+        )(feats[fl:], train)
         y = list(pyramid[: self.last_level - fl])
         y = IDAUp(
             self.out_channels,
             [2 ** i for i in range(self.last_level - fl)],
+            dcn_window=self.dcn_window,
             dtype=self.dtype,
             name="ida_up",
         )(y, 0, len(y), train)
@@ -295,5 +301,6 @@ def build_dla34_backbone(cfg: CfgNode, dtype: Any = jnp.float32) -> DLA34:
         channels=tuple(c.CHANNELS),
         down_ratio=c.DOWN_RATIO,
         last_level=c.LAST_LEVEL,
+        dcn_window=int(cfg.TPU.DCN_WINDOW),
         dtype=dtype,
     )

@@ -75,6 +75,7 @@ class DeformConvV2(nn.Module):
     """
 
     features: int
+    window: int = 0  # offset clamp for the blocked fast path (0 = exact)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -100,7 +101,7 @@ class DeformConvV2(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         y = modulated_deform_conv(
-            x, offset, mask, kernel.astype(self.dtype), bias
+            x, offset, mask, kernel.astype(self.dtype), bias, window=self.window
         )
         y = nn.BatchNorm(
             use_running_average=not train,

@@ -71,7 +71,100 @@ def _bilinear_gather(
     return jnp.einsum("npjk,npjkc->npc", wgt, patch)
 
 
-@functools.partial(jax.jit, static_argnames=("kernel_size", "stride", "dilation"))
+def _blocked_window_sample(
+    x: jnp.ndarray,  # (N, H, W, C)
+    py: jnp.ndarray,  # (N, Ho, Wo, K) float sample rows (pre-clamp)
+    px: jnp.ndarray,
+    mask: jnp.ndarray,  # (N, Ho, Wo, K)
+    window: int,  # R: offsets clamped to [-R, R] around the rigid-grid pos
+    base_y: jnp.ndarray,  # (Ho, Wo, K) rigid-grid positions
+    base_x: jnp.ndarray,
+    block: int = 4,
+) -> jnp.ndarray:
+    """Blocked windowed sampling: ONE (Wp, Wp, C) patch gather per
+    ``block x block`` output tile + bilinear-as-matmul within the patch.
+
+    Wp = block + 2*R + 3 covers every clamped sample's corners for a 3x3
+    dilation-1 kernel.  ~64x fewer gather descriptors than per-sample corner
+    fetches; the in-patch interpolation becomes (B*K, Wp^2) x (Wp^2, C)
+    batched matmuls on the MXU.  Returns (N, Ho, Wo, K, C) modulated samples.
+    """
+    n, h, w, c = x.shape
+    _, ho, wo, k = py.shape
+    s = block
+    r = window
+    wp = s + 2 * r + 3
+    by, bx = ho // s, wo // s
+
+    # clamp offsets: sample pos within [base - R, base + R]
+    py = jnp.clip(py, base_y[None] - r, base_y[None] + r)
+    px = jnp.clip(px, base_x[None] - r, base_x[None] + r)
+
+    # patch base per block, clipped to valid gather starts
+    blk_y0 = jnp.clip(
+        jnp.arange(by, dtype=jnp.int32) * s - 1 - r, 0, max(h - wp, 0)
+    )  # (By,)
+    blk_x0 = jnp.clip(
+        jnp.arange(bx, dtype=jnp.int32) * s - 1 - r, 0, max(w - wp, 0)
+    )
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+    starts = jnp.stack(
+        jnp.meshgrid(blk_y0, blk_x0, indexing="ij"), axis=-1
+    ).reshape(by * bx, 2)
+
+    def per_image(xi):
+        return jax.lax.gather(
+            xi, starts, dnums, slice_sizes=(wp, wp, c),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )  # (By*Bx, Wp, Wp, C)
+
+    patch = jax.vmap(per_image)(x)  # (N, B, Wp, Wp, C)
+
+    # per-sample weights against actual patch coordinates
+    py_b = py.reshape(n, by, s, bx, s, k).transpose(0, 1, 3, 2, 4, 5)  # (N,By,Bx,s,s,K)
+    px_b = px.reshape(n, by, s, bx, s, k).transpose(0, 1, 3, 2, 4, 5)
+    rows = blk_y0[None, :, None].astype(py.dtype) + jax.lax.broadcasted_iota(
+        py.dtype, (1, by, wp), 2
+    )  # (1, By, Wp)
+    cols = blk_x0[None, :, None].astype(px.dtype) + jax.lax.broadcasted_iota(
+        px.dtype, (1, bx, wp), 2
+    )
+    wy = jnp.maximum(
+        0.0, 1.0 - jnp.abs(py_b[..., None] - rows[:, :, None, None, None, None, :])
+    )  # (N, By, Bx, s, s, K, Wp)
+    wx = jnp.maximum(
+        0.0, 1.0 - jnp.abs(px_b[..., None] - cols[:, None, :, None, None, None, :])
+    )
+    mask_b = mask.reshape(n, by, s, bx, s, k).transpose(0, 1, 3, 2, 4, 5)
+    wy = wy * mask_b[..., None]  # fold modulation into the row weights
+
+    # sampled[..., k, c] = sum_{j,i} wy_j * wx_i * patch[j, i, c] as two
+    # chained contractions; XLA fuses them without materializing the
+    # (Q, Wp, C) intermediate (measured faster than one dense
+    # (Q, Wp^2) x (Wp^2, C) GEMM at block 8)
+    nb = n * by * bx
+    q = s * s * k
+    wy2 = wy.reshape(nb, q, wp)
+    wx2 = wx.reshape(nb, q, wp)
+    patch2 = patch.reshape(nb, wp, wp, c)
+    dt = patch2.dtype
+    tmp = jnp.einsum(
+        "bqj,bjic->bqic", wy2.astype(dt), patch2, preferred_element_type=jnp.float32
+    )
+    out = jnp.einsum(
+        "bqi,bqic->bqc", wx2.astype(jnp.float32), tmp,
+        preferred_element_type=jnp.float32,
+    )  # (NB, Q, C)
+    out = out.reshape(n, by, bx, s, s, k, c).transpose(0, 1, 3, 2, 4, 5, 6)
+    return out.reshape(n, ho, wo, k, c)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel_size", "stride", "dilation", "window")
+)
 def modulated_deform_conv(
     x: jnp.ndarray,  # (N, H, W, Cin)
     offset: jnp.ndarray,  # (N, Ho, Wo, 2*K)
@@ -81,12 +174,19 @@ def modulated_deform_conv(
     kernel_size: Tuple[int, int] = (3, 3),
     stride: int = 1,
     dilation: int = 1,
+    window: int = 0,
 ) -> jnp.ndarray:
     """Modulated deformable convolution, SAME padding.
 
     Semantics of ``_C.modulated_deform_conv_forward``
     (reference csrc/deformable/deform_conv_cuda.cu) with deformable_groups=1.
     Differentiable through JAX autodiff (gather → scatter-add transpose).
+
+    ``window > 0`` selects the blocked fast path: offsets are CLAMPED to
+    ``[-window, +window]`` and sampling uses one patch gather per 4x4 output
+    block (_blocked_window_sample) — numerically identical to the exact path
+    whenever |offset| <= window (tested), far fewer gather descriptors.
+    Requires stride 1, 3x3 kernel, dims divisible by 4, dims >= patch size.
     """
     n, h, w, cin = x.shape
     kh, kw = kernel_size
@@ -113,12 +213,35 @@ def modulated_deform_conv(
     py = base_y[None] + off[..., 0]  # (N, Ho, Wo, K)
     px = base_x[None] + off[..., 1]
 
-    p = ho * wo * k
-    sampled = _bilinear_gather(
-        x, py.reshape(n, p), px.reshape(n, p)
-    )  # (N, P, Cin)
-    sampled = sampled.reshape(n, ho, wo, k, cin)
-    sampled = sampled * mask[..., None].astype(sampled.dtype)
+    # pick the largest block size the shape supports (8 maps best onto the
+    # MXU batched-GEMM; 4 covers small maps)
+    block = 0
+    for cand in (8, 4):
+        wp = cand + 2 * window + 3
+        if ho % cand == 0 and wo % cand == 0 and h >= wp and w >= wp:
+            block = cand
+            break
+    use_window = (
+        window > 0
+        and stride == 1
+        and (kh, kw) == (3, 3)
+        and dilation == 1
+        and ho == h
+        and wo == w
+        and block > 0
+    )
+    if use_window:
+        sampled = _blocked_window_sample(
+            x, py, px, mask.astype(jnp.float32), window, base_y, base_x, block
+        )  # (N, Ho, Wo, K, Cin), mask already folded in
+        sampled = sampled.astype(x.dtype)
+    else:
+        p = ho * wo * k
+        sampled = _bilinear_gather(
+            x, py.reshape(n, p), px.reshape(n, p)
+        )  # (N, P, Cin)
+        sampled = sampled.reshape(n, ho, wo, k, cin)
+        sampled = sampled * mask[..., None].astype(sampled.dtype)
 
     # One MXU-sized contraction over (tap, channel).
     lhs = sampled.reshape(n * ho * wo, k * cin)
