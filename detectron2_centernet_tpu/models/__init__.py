@@ -1,5 +1,6 @@
 from . import backbones, meta_arch  # noqa: F401  (populate registries)
 from .build import build_model
+from .test_time_augmentation import GeneralizedRCNNWithTTA, TTAPredictor
 from .registry import (
     ANCHOR_GENERATOR_REGISTRY,
     BACKBONE_REGISTRY,
@@ -16,5 +17,7 @@ __all__ = [
     "PROPOSAL_GENERATOR_REGISTRY",
     "ROI_HEADS_REGISTRY",
     "RPN_HEAD_REGISTRY",
+    "GeneralizedRCNNWithTTA",
+    "TTAPredictor",
     "build_model",
 ]

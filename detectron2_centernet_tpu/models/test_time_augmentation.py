@@ -17,7 +17,7 @@ import numpy as np
 from ..config import CfgNode
 from ..structures import Boxes, Instances
 
-__all__ = ["TTAPredictor", "numpy_nms"]
+__all__ = ["TTAPredictor", "GeneralizedRCNNWithTTA", "numpy_nms"]
 
 
 def numpy_nms(boxes: np.ndarray, scores: np.ndarray, thresh: float) -> np.ndarray:
@@ -100,3 +100,8 @@ class TTAPredictor:
         inst.scores = scores.astype(np.float32)
         inst.pred_classes = classes.astype(np.int64)
         return {"instances": inst}
+
+
+# Reference-name alias (test_time_augmentation.py:85): in this framework TTA
+# is meta-arch-agnostic, so "GeneralizedRCNNWithTTA" is the same predictor.
+GeneralizedRCNNWithTTA = TTAPredictor

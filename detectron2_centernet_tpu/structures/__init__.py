@@ -6,7 +6,7 @@ from .boxes import (
     pairwise_ioa,
     pairwise_iou,
 )
-from .image_batch import ImageBatch, pad_to_divisibility
+from .image_batch import ImageBatch, ImageList, pad_to_divisibility
 from .instances import Instances
 from .keypoints import Keypoints, heatmaps_to_keypoints, keypoints_to_heatmap_targets
 from .rotated_boxes import (
@@ -27,6 +27,7 @@ __all__ = [
     "Boxes",
     "BoxMode",
     "ImageBatch",
+    "ImageList",
     "Instances",
     "Keypoints",
     "PolygonMasks",

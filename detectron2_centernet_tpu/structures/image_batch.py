@@ -67,3 +67,8 @@ class ImageBatch:
             out[i, :ih, :iw] = im
             sizes.append((ih, iw))
         return ImageBatch(tensor=out, image_sizes=sizes)
+
+
+# Reference-name alias: code written against detectron2's ``ImageList`` can
+# keep the name; the static-shape semantics are documented above.
+ImageList = ImageBatch
