@@ -40,16 +40,19 @@ def gaussian_radius(height: jnp.ndarray, width: jnp.ndarray, min_overlap: float 
     sq1 = jnp.sqrt(jnp.maximum(b1 * b1 - 4 * c1, 0.0))
     r1 = (b1 + sq1) / 2
 
+    # NOTE: the reference divides ALL three roots by 2 (detection_utils.py:
+    # 654-680), not by 2a as the textbook quadratic would — an upstream
+    # CenterNet quirk that must be matched bit-for-bit for target parity.
     b2 = 2 * (h + w)
     c2 = (1 - min_overlap) * w * h
     sq2 = jnp.sqrt(jnp.maximum(b2 * b2 - 16 * c2, 0.0))
-    r2 = (b2 + sq2) / 8
+    r2 = (b2 + sq2) / 2
 
     a3 = 4 * min_overlap
     b3 = -2 * min_overlap * (h + w)
     c3 = (min_overlap - 1) * w * h
     sq3 = jnp.sqrt(jnp.maximum(b3 * b3 - 4 * a3 * c3, 0.0))
-    r3 = (b3 + sq3) / (2 * a3)
+    r3 = (b3 + sq3) / 2
 
     return jnp.minimum(jnp.minimum(r1, r2), r3)
 

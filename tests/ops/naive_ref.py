@@ -57,11 +57,12 @@ def ref_gaussian_radius(det_size, min_overlap=0.7):
     r1 = (b1 + np.sqrt(b1 ** 2 - 4 * c1)) / 2
     b2 = 2 * (height + width)
     c2 = (1 - min_overlap) * width * height
-    r2 = (b2 + np.sqrt(b2 ** 2 - 16 * c2)) / 8
+    # the reference divides all roots by 2 (detection_utils.py:654-680)
+    r2 = (b2 + np.sqrt(b2 ** 2 - 16 * c2)) / 2
     a3 = 4 * min_overlap
     b3 = -2 * min_overlap * (height + width)
     c3 = (min_overlap - 1) * width * height
-    r3 = (b3 + np.sqrt(b3 ** 2 - 4 * a3 * c3)) / (2 * a3)
+    r3 = (b3 + np.sqrt(b3 ** 2 - 4 * a3 * c3)) / 2
     return min(r1, r2, r3)
 
 
