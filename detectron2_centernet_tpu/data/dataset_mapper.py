@@ -33,6 +33,22 @@ class DatasetMapper:
         self.is_train = is_train
         self.image_format = cfg.INPUT.FORMAT
         self.mask_on = bool(cfg.MODEL.MASK_ON)
+        self.keypoint_on = bool(cfg.MODEL.KEYPOINT_ON)
+        self.num_keypoints = int(cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS)
+        # flip index permutation from metadata when a train dataset is known
+        self.kp_flip_indices = None
+        if self.keypoint_on and len(cfg.DATASETS.TRAIN):
+            from .catalog import MetadataCatalog
+
+            meta = MetadataCatalog.get(cfg.DATASETS.TRAIN[0])
+            names = meta.get("keypoint_names")
+            flip_map = meta.get("keypoint_flip_map")
+            if names and flip_map:
+                idx = {n: i for i, n in enumerate(names)}
+                perm = list(range(len(names)))
+                for a, b in flip_map:
+                    perm[idx[a]], perm[idx[b]] = idx[b], idx[a]
+                self.kp_flip_indices = np.asarray(perm)
         self.mask_raster = int(cfg.INPUT.MASK_RASTER)
         self.max_objs = int(cfg.MODEL.CENTERNET.MAX_OBJS)
         self.train_size = tuple(cfg.INPUT.TRAIN_SIZE)
@@ -113,6 +129,28 @@ class DatasetMapper:
                         polys.append(pts.reshape(-1))
                     rasters[i] = (rasterize_in_box(polys, box, r) > 0.5).astype(np.uint8)
                 out["gt_masks"] = rasters
+
+            if self.keypoint_on:
+                kp = np.zeros((self.max_objs, self.num_keypoints, 3), np.float32)
+                kept_annos = [a for a, kf in zip(annos, keep) if kf][: self.max_objs]
+                for i, a in enumerate(kept_annos):
+                    pts = a.get("keypoints")
+                    if not pts:
+                        continue
+                    arr = np.asarray(pts, np.float32).reshape(-1, 3)[: self.num_keypoints]
+                    xy = utils.apply_affine_to_points(m, arr[:, :2])
+                    vis = arr[:, 2].copy()
+                    # points warped outside the canvas become invisible
+                    inside = (
+                        (xy[:, 0] >= 0) & (xy[:, 0] < out_size[1])
+                        & (xy[:, 1] >= 0) & (xy[:, 1] < out_size[0])
+                    )
+                    vis = np.where(inside, vis, 0)
+                    row = np.concatenate([xy, vis[:, None]], axis=1)
+                    if m[0, 0] < 0 and self.kp_flip_indices is not None:
+                        row = row[self.kp_flip_indices]  # mirrored warp: swap L/R
+                    kp[i, : len(row)] = row
+                out["gt_keypoints"] = kp
 
             # semantic segmentation targets (reference dataset_mapper.py:140-150)
             sem = dataset_dict.get("sem_seg")

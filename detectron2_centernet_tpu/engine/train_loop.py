@@ -122,7 +122,7 @@ class SimpleTrainer(TrainerBase):
     shard_fn : host batch pytree -> device arrays with the right sharding
     """
 
-    BATCH_KEYS = ("image", "gt_boxes", "gt_classes", "gt_valid", "gt_masks", "sem_seg")
+    BATCH_KEYS = ("image", "gt_boxes", "gt_classes", "gt_valid", "gt_masks", "gt_keypoints", "sem_seg")
 
     def __init__(self, model, data_loader, train_step, state, shard_fn, metrics_period: int = 20) -> None:
         super().__init__()

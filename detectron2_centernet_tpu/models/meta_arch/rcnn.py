@@ -37,6 +37,11 @@ from ..proposal_generator.rpn import (
 from ..backbones.resnet import RESNET_SPECS, BottleneckBlock
 from ..registry import BACKBONE_REGISTRY, META_ARCH_REGISTRY
 from ..roi_heads.box_head import FastRCNNConvFCHead, FastRCNNOutputLayers
+from ..roi_heads.keypoint_head import (
+    KRCNNConvDeconvUpsampleHead,
+    encode_keypoint_targets,
+    keypoint_rcnn_loss,
+)
 from ..roi_heads.mask_head import (
     MaskRCNNConvUpsampleHead,
     crop_gt_masks,
@@ -68,6 +73,9 @@ class RCNNNetwork(nn.Module):
     mask_num_conv: int = 4
     mask_conv_dim: int = 256
     mask_pooler_resolution: int = 14
+    keypoint_on: bool = False
+    num_keypoints: int = 17
+    keypoint_pooler_resolution: int = 14
     # Res5ROIHeads (C4): the res5 stage runs on pooled 14x14 rois
     # (reference roi_heads.py:345-475)
     res5_reps: int = 3
@@ -122,6 +130,10 @@ class RCNNNetwork(nn.Module):
                 self.num_classes, num_conv=self.mask_num_conv,
                 conv_dim=self.mask_conv_dim, dtype=self.dtype,
             )
+        if self.keypoint_on:
+            self.keypoint_head = KRCNNConvDeconvUpsampleHead(
+                self.num_keypoints, dtype=self.dtype,
+            )
 
     def backbone_rpn(self, images, train: bool = False):
         feats = self.backbone(images, train)
@@ -148,6 +160,10 @@ class RCNNNetwork(nn.Module):
         """pooled (R, P, P, C) -> (R, 2P, 2P, num_classes) mask logits."""
         return self.mask_head(pooled, train)
 
+    def keypoint_predict(self, pooled, train: bool = False):
+        """pooled (R, P, P, C) -> (R, 4P, 4P, K) keypoint logits."""
+        return self.keypoint_head(pooled, train)
+
     def __call__(self, images, train: bool = False):
         # init path: trace every submodule once
         feats, logits, deltas = self.backbone_rpn(images, train)
@@ -163,6 +179,9 @@ class RCNNNetwork(nn.Module):
         if self.mask_on:
             mp = self.mask_pooler_resolution
             self.mask_predict(jnp.zeros((1, mp, mp, c), f0.dtype), train)
+        if self.keypoint_on:
+            kp = self.keypoint_pooler_resolution
+            self.keypoint_predict(jnp.zeros((1, kp, kp, c), f0.dtype), train)
         return logits
 
 
@@ -219,6 +238,11 @@ class GeneralizedRCNN:
         self.mask_on = bool(cfg.MODEL.MASK_ON)
         mh = cfg.MODEL.ROI_MASK_HEAD
         self.mask_pooler_resolution = int(mh.POOLER_RESOLUTION)
+        self.keypoint_on = bool(cfg.MODEL.KEYPOINT_ON)
+        kh = cfg.MODEL.ROI_KEYPOINT_HEAD
+        self.num_keypoints = int(kh.NUM_KEYPOINTS)
+        self.keypoint_pooler_resolution = int(kh.POOLER_RESOLUTION)
+        self.keypoint_loss_weight = float(kh.LOSS_WEIGHT)
 
         bh = cfg.MODEL.ROI_BOX_HEAD
         self.box2box = Box2BoxTransform(tuple(bh.BBOX_REG_WEIGHTS))
@@ -249,6 +273,9 @@ class GeneralizedRCNN:
             mask_num_conv=int(mh.NUM_CONV) or 4,
             mask_conv_dim=int(mh.CONV_DIM),
             mask_pooler_resolution=int(mh.POOLER_RESOLUTION),
+            keypoint_on=self.keypoint_on,
+            num_keypoints=self.num_keypoints,
+            keypoint_pooler_resolution=int(kh.POOLER_RESOLUTION),
             dtype=dtype,
         )
 
@@ -433,6 +460,29 @@ class GeneralizedRCNN:
             losses["loss_mask"] = mask_rcnn_loss(
                 mask_logits, gt_crop, flat_sampled["classes"], fg
             )
+
+        if self.keypoint_on and "gt_keypoints" in batch:
+            kp_pooled = self._pool(
+                feats, flat_boxes, batch_idx, self.keypoint_pooler_resolution
+            )
+            kp_logits = self.module.apply(
+                variables, kp_pooled, True, method=RCNNNetwork.keypoint_predict
+            )  # (N*S, Hm, Hm, K)
+            matched_kp = jnp.take_along_axis(
+                batch["gt_keypoints"],
+                sampled["matched_idx"][..., None, None],
+                axis=1,
+            ).reshape(n * s, self.num_keypoints, 3)
+            kp_idx, kp_valid = encode_keypoint_targets(
+                matched_kp, flat_boxes, kp_logits.shape[1]
+            )
+            fg_kp = (
+                flat_sampled["is_pos"] & (flat_sampled["weights"] > 0)
+            ).astype(jnp.float32)
+            losses["loss_keypoint"] = (
+                keypoint_rcnn_loss(kp_logits, kp_idx, kp_valid, fg_kp)
+                * self.keypoint_loss_weight
+            )
         total = sum(losses.values())
         new_stats = mutated.get("batch_stats", batch_stats)
         return total, (losses, new_stats)
@@ -499,6 +549,20 @@ class GeneralizedRCNN:
             )[..., 0]
             p2 = sel.shape[-1]
             dets["masks"] = jax.nn.sigmoid(sel).reshape(n, k, p2, p2)
+        if self.keypoint_on:
+            k = dets["boxes"].shape[1]
+            det_boxes = dets["boxes"].reshape(n * k, 4)
+            det_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+            kp_pooled = self._pool(
+                feats, det_boxes, det_idx, self.keypoint_pooler_resolution
+            )
+            kp_logits = self.module.apply(
+                variables, kp_pooled, False, method=RCNNNetwork.keypoint_predict
+            )
+            hm = kp_logits.shape[1]
+            dets["keypoint_heatmaps"] = kp_logits.reshape(
+                n, k, hm, hm, self.num_keypoints
+            )
         return dets
 
     # -- host boundary --------------------------------------------------------
@@ -527,6 +591,13 @@ class GeneralizedRCNN:
                 inst.pred_masks = paste_masks_in_image(
                     masks[i][keep], np.asarray(bx.tensor), (oh, ow)
                 )
+            if "keypoint_heatmaps" in dets:
+                from ...structures.keypoints import heatmaps_to_keypoints
+
+                hm = np.asarray(dets["keypoint_heatmaps"])[i][keep]
+                inst.pred_keypoints = heatmaps_to_keypoints(
+                    hm, np.asarray(bx.tensor)
+                )[:, :, [0, 1, 3]]  # x, y, score
             results.append({"instances": inst})
         return results
 

@@ -13,7 +13,32 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["KRCNNConvDeconvUpsampleHead", "keypoint_rcnn_loss"]
+__all__ = ["KRCNNConvDeconvUpsampleHead", "keypoint_rcnn_loss", "encode_keypoint_targets"]
+
+
+def encode_keypoint_targets(
+    keypoints: jnp.ndarray,  # (S, K, 3) x, y, vis — matched gt keypoints
+    rois: jnp.ndarray,  # (S, 4)
+    heatmap_size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """jnp version of ``structures.keypoints.keypoints_to_heatmap_targets``
+    (reference keypoints.py:85-142) for use inside the jitted train step.
+    Returns (indices (S, K) int32, valid (S, K) float)."""
+    x = keypoints[..., 0]
+    y = keypoints[..., 1]
+    vis = keypoints[..., 2] > 0
+    x0 = rois[:, 0:1]
+    y0 = rois[:, 1:2]
+    sx = heatmap_size / jnp.maximum(rois[:, 2:3] - rois[:, 0:1], 1e-6)
+    sy = heatmap_size / jnp.maximum(rois[:, 3:4] - rois[:, 1:2], 1e-6)
+    hx = (x - x0) * sx
+    hy = (y - y0) * sy
+    hx_i = jnp.where(hx == heatmap_size, heatmap_size - 1, jnp.floor(hx))
+    hy_i = jnp.where(hy == heatmap_size, heatmap_size - 1, jnp.floor(hy))
+    valid_loc = (hx_i >= 0) & (hy_i >= 0) & (hx_i < heatmap_size) & (hy_i < heatmap_size)
+    valid = (valid_loc & vis).astype(jnp.float32)
+    idx = (hy_i * heatmap_size + hx_i).astype(jnp.int32)
+    return jnp.where(valid > 0, idx, 0), valid
 
 
 class KRCNNConvDeconvUpsampleHead(nn.Module):
