@@ -9,6 +9,7 @@ json parsing happens only when a dataset is first used.
 
 import os
 
+from ..catalog import DatasetCatalog, MetadataCatalog
 from .builtin_meta import get_builtin_metadata
 from .coco import register_coco_instances
 
@@ -108,6 +109,47 @@ def register_all_pascal_voc(root: str) -> None:
         register_pascal_voc(name, os.path.join(root, dirname), split, year)
 
 
+_PREDEFINED_PANOPTIC = {
+    "coco_2017_train_panoptic_separated": (
+        "coco/train2017", "coco/annotations/instances_train2017.json",
+        "coco/panoptic_stuff_train2017",
+    ),
+    "coco_2017_val_panoptic_separated": (
+        "coco/val2017", "coco/annotations/instances_val2017.json",
+        "coco/panoptic_stuff_val2017",
+    ),
+}
+
+
+def register_all_panoptic(root: str) -> None:
+    """'separated' panoptic format (reference register_coco.py:114): COCO
+    instance json + per-image stuff sem_seg pngs merged into one dataset."""
+    import os as _os
+
+    from .builtin_meta import get_builtin_metadata
+    from .coco import load_coco_json
+
+    for key, (image_root, json_file, sem_dir) in _PREDEFINED_PANOPTIC.items():
+
+        def _load(jf=_os.path.join(root, json_file),
+                  ir=_os.path.join(root, image_root),
+                  sd=_os.path.join(root, sem_dir), name=key):
+            dicts = load_coco_json(jf, ir, name)
+            for d in dicts:
+                base = _os.path.splitext(_os.path.basename(d["file_name"]))[0]
+                d["sem_seg_file_name"] = _os.path.join(sd, base + ".png")
+            return dicts
+
+        DatasetCatalog.register(key, _load)
+        MetadataCatalog.get(key).set(
+            evaluator_type="coco_panoptic_seg",
+            json_file=_os.path.join(root, json_file),
+            image_root=_os.path.join(root, image_root),
+            sem_seg_root=_os.path.join(root, sem_dir),
+            **get_builtin_metadata("coco"),
+        )
+
+
 def register_builtin_datasets() -> None:
     global _registered
     if _registered:
@@ -118,3 +160,7 @@ def register_builtin_datasets() -> None:
     register_all_tl(root)
     register_all_lvis(root)
     register_all_pascal_voc(root)
+    register_all_panoptic(root)
+    from .cityscapes import register_cityscapes
+
+    register_cityscapes(root)

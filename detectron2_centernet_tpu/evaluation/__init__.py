@@ -2,7 +2,9 @@ from .coco_evaluation import COCOEvaluator, instances_to_coco_json
 from .cocoeval_np import COCOEval
 from .evaluator import DatasetEvaluator, DatasetEvaluators, inference_on_dataset
 from .lvis_evaluation import LVISEvaluator
+from .panoptic_evaluation import PanopticEvaluator, pq_compute_single_image
 from .pascal_voc_evaluation import PascalVOCDetectionEvaluator
+from .sem_seg_evaluation import SemSegEvaluator
 from .testing import flatten_results_dict, print_csv_format, verify_results
 
 __all__ = [
@@ -11,7 +13,10 @@ __all__ = [
     "DatasetEvaluator",
     "DatasetEvaluators",
     "LVISEvaluator",
+    "PanopticEvaluator",
     "PascalVOCDetectionEvaluator",
+    "SemSegEvaluator",
+    "pq_compute_single_image",
     "flatten_results_dict",
     "inference_on_dataset",
     "instances_to_coco_json",

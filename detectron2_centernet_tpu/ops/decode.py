@@ -54,6 +54,7 @@ def ctdet_decode(
     # Flatten to (N, C*H*W) in (class, y, x) index order to mirror the
     # reference's NCHW flattening, so tie-breaking picks the same elements.
     flat = jnp.transpose(heat, (0, 3, 1, 2)).reshape(n, c * h * w)
+
     scores, inds = jax.lax.top_k(flat.astype(jnp.float32), k)  # (N, K)
     classes = (inds // (h * w)).astype(jnp.int32)
     pix = inds % (h * w)  # (N, K) flattened y*w + x
