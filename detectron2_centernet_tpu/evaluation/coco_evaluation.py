@@ -31,7 +31,8 @@ __all__ = ["COCOEvaluator", "instances_to_coco_json"]
 
 
 def instances_to_coco_json(instances, img_id: int) -> List[dict]:
-    """Instances -> list of COCO-format detection dicts (reference :321-354)."""
+    """Instances -> list of COCO-format detection dicts (reference :321-354);
+    masks are encoded as uncompressed COCO RLE."""
     num_instance = len(instances)
     if num_instance == 0:
         return []
@@ -41,15 +42,23 @@ def instances_to_coco_json(instances, img_id: int) -> List[dict]:
     boxes[:, 3] -= boxes[:, 1]
     scores = np.asarray(instances.scores).tolist()
     classes = np.asarray(instances.pred_classes).tolist()
-    return [
-        {
+    has_mask = instances.has("pred_masks")
+    if has_mask:
+        from ..structures.rle import mask_to_rle
+
+        rles = [mask_to_rle(np.asarray(m)) for m in instances.pred_masks]
+    results = []
+    for k in range(num_instance):
+        r = {
             "image_id": img_id,
             "category_id": classes[k],
             "bbox": boxes[k].tolist(),
             "score": scores[k],
         }
-        for k in range(num_instance)
-    ]
+        if has_mask:
+            r["segmentation"] = rles[k]
+        results.append(r)
+    return results
 
 
 class COCOEvaluator(DatasetEvaluator):
@@ -130,24 +139,52 @@ class COCOEvaluator(DatasetEvaluator):
 
         img_ids = [img["id"] for img in self._coco_gt["images"]]
         cat_ids = [c["id"] for c in self._coco_gt["categories"]]
+        out = OrderedDict()
         coco_eval = self._evaluate_predictions_on_coco(
             self._coco_gt["annotations"], coco_results, img_ids, cat_ids
         )
-        results = self._derive_coco_results(coco_eval)
-        return OrderedDict({"bbox": results})
+        out["bbox"] = self._derive_coco_results(coco_eval)
 
-    def _evaluate_predictions_on_coco(self, gt_anns, coco_results, img_ids, cat_ids):
+        if any("segmentation" in r for r in coco_results):
+            gt_segm = self._gt_segm_rles()
+            dt_segm = [r for r in coco_results if "segmentation" in r]
+            segm_eval = self._evaluate_predictions_on_coco(
+                gt_segm, dt_segm, img_ids, cat_ids, iou_type="segm"
+            )
+            out["segm"] = self._derive_coco_results(segm_eval)
+        return out
+
+    def _gt_segm_rles(self) -> List[dict]:
+        """Ground-truth annotations with polygon segmentations rasterized to
+        RLE at image size (the pycocotools annToRLE step)."""
+        from ..structures.masks import polygons_to_bitmask
+        from ..structures.rle import mask_to_rle
+
+        sizes = {im["id"]: (im["height"], im["width"]) for im in self._coco_gt["images"]}
+        out = []
+        for a in self._coco_gt["annotations"]:
+            segm = a.get("segmentation")
+            if not segm:
+                continue
+            g = dict(a)
+            if isinstance(segm, list):
+                h, w = sizes[a["image_id"]]
+                g["segmentation"] = mask_to_rle(polygons_to_bitmask(segm, h, w))
+            out.append(g)
+        return out
+
+    def _evaluate_predictions_on_coco(self, gt_anns, coco_results, img_ids, cat_ids, iou_type="bbox"):
         if self._use_fast_impl:
             try:
                 from ..ops.fast_cocoeval import FastCOCOEval
 
-                ev = FastCOCOEval(gt_anns, coco_results, img_ids, cat_ids)
+                ev = FastCOCOEval(gt_anns, coco_results, img_ids, cat_ids, iou_type)
                 ev.evaluate()
                 ev.summarize()
                 return ev
             except ImportError:
                 pass
-        ev = COCOEval(gt_anns, coco_results, img_ids, cat_ids)
+        ev = COCOEval(gt_anns, coco_results, img_ids, cat_ids, iou_type)
         ev.evaluate()
         ev.summarize()
         return ev

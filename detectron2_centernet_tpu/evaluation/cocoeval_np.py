@@ -75,20 +75,33 @@ class COCOEval:
         dt_anns: List[dict],
         img_ids: Sequence,
         cat_ids: Sequence,
+        iou_type: str = "bbox",
     ) -> None:
+        assert iou_type in ("bbox", "segm"), iou_type
+        self.iou_type = iou_type
         self.img_ids = list(img_ids)
         self.cat_ids = list(cat_ids)
         self._gts = defaultdict(list)
         self._dts = defaultdict(list)
         for g in gt_anns:
             g = dict(g)
-            g.setdefault("area", g["bbox"][2] * g["bbox"][3])
+            if "bbox" in g:
+                g.setdefault("area", g["bbox"][2] * g["bbox"][3])
+            else:
+                from ..structures.rle import rle_area
+
+                g.setdefault("area", rle_area(g["segmentation"]))
             g.setdefault("iscrowd", 0)
             g["ignore"] = g.get("ignore", 0) or g["iscrowd"]
             self._gts[(g["image_id"], g["category_id"])].append(g)
         for d in dt_anns:
             d = dict(d)
-            d.setdefault("area", d["bbox"][2] * d["bbox"][3])
+            if "bbox" in d:
+                d.setdefault("area", d["bbox"][2] * d["bbox"][3])
+            else:
+                from ..structures.rle import rle_area
+
+                d.setdefault("area", rle_area(d["segmentation"]))
             self._dts[(d["image_id"], d["category_id"])].append(d)
         self.eval: Optional[dict] = None
         self.stats: Optional[np.ndarray] = None
@@ -110,10 +123,8 @@ class COCOEval:
         d_order = np.argsort([-d["score"] for d in dts], kind="stable")[:max_det]
         dts = [dts[i] for i in d_order]
 
-        g_boxes = np.array([g["bbox"] for g in gts], np.float64).reshape(-1, 4)
-        d_boxes = np.array([d["bbox"] for d in dts], np.float64).reshape(-1, 4)
         iscrowd = [int(g["iscrowd"]) for g in gts]
-        ious = iou_xywh(d_boxes, g_boxes, iscrowd)
+        ious = self._compute_iou(dts, gts, iscrowd)
 
         T = len(self.IOU_THRS)
         D, G = len(dts), len(gts)
@@ -151,6 +162,19 @@ class COCOEval:
             "gt_ignore": g_ignore,
             "num_gt": int((~g_ignore).sum()),
         }
+
+    def _compute_iou(self, dts, gts, iscrowd) -> np.ndarray:
+        if self.iou_type == "segm":
+            from ..structures.rle import rle_iou
+
+            return rle_iou(
+                [d["segmentation"] for d in dts],
+                [g["segmentation"] for g in gts],
+                iscrowd,
+            )
+        g_boxes = np.array([g["bbox"] for g in gts], np.float64).reshape(-1, 4)
+        d_boxes = np.array([d["bbox"] for d in dts], np.float64).reshape(-1, 4)
+        return iou_xywh(d_boxes, g_boxes, iscrowd)
 
     # -- accumulate ----------------------------------------------------------
     def evaluate(self) -> None:

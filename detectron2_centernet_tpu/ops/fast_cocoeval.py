@@ -93,13 +93,11 @@ class FastCOCOEval(COCOEval):
                     [-d["score"] for d in dts], kind="stable"
                 )[:max_det]
                 dts = [dts[i] for i in d_order]
-                d_boxes = np.array([d["bbox"] for d in dts], np.float64).reshape(-1, 4)
-                g_boxes = np.array([g["bbox"] for g in gts], np.float64).reshape(-1, 4)
                 crowd = np.array([int(g["iscrowd"]) for g in gts], np.uint8)
                 prepped.append(
                     dict(
                         ious=np.ascontiguousarray(
-                            iou_xywh(d_boxes, g_boxes, crowd), np.float64
+                            self._compute_iou(dts, gts, crowd), np.float64
                         ),
                         det_scores=np.array([d["score"] for d in dts], np.float64),
                         det_areas=np.array([d["area"] for d in dts], np.float64),
