@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...config import CfgNode
+from ...ops.deform_conv import modulated_deform_conv
 from ..layers import FrozenBatchNorm, get_norm
 from ..registry import BACKBONE_REGISTRY
 
@@ -151,6 +152,64 @@ class BottleneckBlock(nn.Module):
         return nn.relu(out + sc)
 
 
+class DeformBottleneckBlock(nn.Module):
+    """Bottleneck with a (modulated) deformable 3x3 (reference resnet.py:214:
+    DCN v1/v2 in chosen stages via DEFORM_ON_PER_STAGE)."""
+
+    out_channels: int
+    bottleneck_channels: int
+    stride: int = 1
+    stride_in_1x1: bool = True
+    dilation: int = 1
+    norm: str = "FrozenBN"
+    deform_modulated: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cin = x.shape[-1]
+        s1, s3 = (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
+        out = nn.Conv(self.bottleneck_channels, (1, 1), strides=s1, use_bias=False,
+                      dtype=self.dtype, name="conv1")(x)
+        out = _Norm(self.norm, self.bottleneck_channels, self.dtype, name="conv1_norm")(out, train)
+        out = nn.relu(out)
+
+        # offset/mask predictor (at output resolution) + deformable 3x3
+        assert s3 in (1, 2)
+        nch = 27 if self.deform_modulated else 18
+        om = nn.Conv(nch, (3, 3), strides=s3, padding="SAME",
+                     kernel_init=nn.initializers.zeros, dtype=jnp.float32,
+                     name="conv2_offset")(out.astype(jnp.float32))
+        if self.deform_modulated:
+            offset, mask_logit = om[..., :18], om[..., 18:]
+            mask = jax.nn.sigmoid(mask_logit)
+        else:
+            offset = om
+            mask = jnp.ones(om.shape[:3] + (9,), jnp.float32)
+        kernel = self.param(
+            "conv2_kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (3, 3, self.bottleneck_channels, self.bottleneck_channels),
+            jnp.float32,
+        )
+        out = modulated_deform_conv(
+            out, offset, mask, kernel.astype(out.dtype), None,
+            stride=s3, dilation=self.dilation,
+        )
+        out = _Norm(self.norm, self.bottleneck_channels, self.dtype, name="conv2_norm")(out, train)
+        out = nn.relu(out)
+        out = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv3")(out)
+        out = _Norm(self.norm, self.out_channels, self.dtype, name="conv3_norm")(out, train)
+        if cin != self.out_channels or self.stride != 1:
+            sc = nn.Conv(self.out_channels, (1, 1), strides=self.stride, use_bias=False,
+                         dtype=self.dtype, name="shortcut")(x)
+            sc = _Norm(self.norm, self.out_channels, self.dtype, name="shortcut_norm")(sc, train)
+        else:
+            sc = x
+        return nn.relu(out + sc)
+
+
 class ResNet(nn.Module):
     """Full trunk; ``__call__`` returns {feature_name: NHWC array} for
     ``out_features`` ⊆ {stem, res2..res5} (reference resnet.py:362-553)."""
@@ -165,6 +224,8 @@ class ResNet(nn.Module):
     res5_dilation: int = 1
     norm: str = "FrozenBN"
     freeze_at: int = 0
+    deform_on_per_stage: Sequence[bool] = (False, False, False, False)
+    deform_modulated: bool = False
     dtype: Any = jnp.float32
 
     # stride of each produced feature, for FPN consumers
@@ -207,11 +268,19 @@ class ResNet(nn.Module):
             dilation = self.res5_dilation if stage == 5 else 1
             if dilation > 1:
                 first_stride = 1
+            deform = self.deform_on_per_stage[idx]
             for b in range(reps):
                 stride = first_stride if b == 0 else 1
                 if block_type == "basic":
                     x = BasicBlock(
                         out_channels, stride=stride, norm=self.norm,
+                        dtype=self.dtype, name=f"res{stage}_block{b}",
+                    )(x, train)
+                elif deform:
+                    x = DeformBottleneckBlock(
+                        out_channels, bottleneck_channels, stride=stride,
+                        stride_in_1x1=self.stride_in_1x1, dilation=dilation,
+                        norm=self.norm, deform_modulated=self.deform_modulated,
                         dtype=self.dtype, name=f"res{stage}_block{b}",
                     )(x, train)
                 else:
@@ -243,6 +312,8 @@ def build_resnet(cfg: CfgNode, dtype: Any = jnp.float32, out_features: Optional[
         res5_dilation=r.RES5_DILATION,
         norm=r.NORM,
         freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
+        deform_on_per_stage=tuple(r.DEFORM_ON_PER_STAGE),
+        deform_modulated=bool(r.DEFORM_MODULATED),
         dtype=dtype,
     )
 

@@ -199,3 +199,34 @@ def get_norm(norm: str, features: int, dtype: Any = jnp.float32) -> Optional[Cal
     if norm == "GN":
         return lambda train: nn.GroupNorm(num_groups=32, dtype=dtype)
     raise ValueError(f"Unknown norm: {norm}")
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling (reference layers/aspp.py:12): parallel
+    1x1 + three dilated 3x3 convs + image pooling, concatenated and projected.
+    Used by DeepLab-style semantic heads."""
+
+    out_channels: int
+    dilations: Tuple[int, int, int] = (6, 12, 18)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c = self.out_channels
+        branches = [
+            nn.relu(nn.Conv(c, (1, 1), dtype=self.dtype, name="conv1x1")(x))
+        ]
+        for i, d in enumerate(self.dilations):
+            branches.append(
+                nn.relu(
+                    nn.Conv(
+                        c, (3, 3), padding="SAME", kernel_dilation=d,
+                        dtype=self.dtype, name=f"dilated{i}",
+                    )(x)
+                )
+            )
+        gap = jnp.mean(x, axis=(1, 2), keepdims=True)
+        gap = nn.relu(nn.Conv(c, (1, 1), dtype=self.dtype, name="image_pool")(gap))
+        gap = jnp.broadcast_to(gap, x.shape[:3] + (c,))
+        cat = jnp.concatenate(branches + [gap], axis=-1)
+        return nn.relu(nn.Conv(c, (1, 1), dtype=self.dtype, name="project")(cat))
