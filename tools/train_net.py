@@ -28,15 +28,33 @@ class Trainer(DefaultTrainer):
 
     @classmethod
     def build_evaluator(cls, cfg, dataset_name, output_folder=None):
+        from detectron2_centernet_tpu.evaluation import (
+            DatasetEvaluators,
+            LVISEvaluator,
+            PascalVOCDetectionEvaluator,
+            SemSegEvaluator,
+        )
+
         if output_folder is None:
             output_folder = os.path.join(cfg.OUTPUT_DIR, "inference")
         evaluator_type = MetadataCatalog.get(dataset_name).get("evaluator_type", "coco")
-        if evaluator_type == "coco":
-            return COCOEvaluator(dataset_name, output_dir=output_folder)
-        raise NotImplementedError(
-            f"No evaluator implemented for evaluator_type '{evaluator_type}' "
-            f"(dataset {dataset_name})"
-        )
+        evaluators = []
+        if evaluator_type in ("coco", "coco_panoptic_seg"):
+            evaluators.append(COCOEvaluator(dataset_name, output_dir=output_folder))
+        if evaluator_type in ("sem_seg", "coco_panoptic_seg"):
+            evaluators.append(SemSegEvaluator(dataset_name))
+        if evaluator_type == "lvis":
+            evaluators.append(LVISEvaluator(dataset_name, output_dir=output_folder))
+        if evaluator_type == "pascal_voc":
+            evaluators.append(PascalVOCDetectionEvaluator(dataset_name))
+        if not evaluators:
+            raise NotImplementedError(
+                f"No evaluator implemented for evaluator_type '{evaluator_type}' "
+                f"(dataset {dataset_name})"
+            )
+        if len(evaluators) == 1:
+            return evaluators[0]
+        return DatasetEvaluators(evaluators)
 
 
 def setup(args):
