@@ -1,0 +1,57 @@
+"""StableHLO export round trip + analysis utilities."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from detectron2_centernet_tpu.config import get_cfg
+from detectron2_centernet_tpu.export import export_stablehlo, load_exported
+from detectron2_centernet_tpu.models import build_model
+from detectron2_centernet_tpu.utils.analysis import (
+    flop_count,
+    parameter_count,
+    parameter_count_table,
+)
+
+
+def _tiny_centernet():
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "CenterNet"
+    cfg.MODEL.BACKBONE.NAME = "build_dla34_backbone"
+    cfg.MODEL.CENTERNET.TASK.HM = 3
+    cfg.MODEL.CENTERNET.LEVELS = [1, 1, 1, 1, 1, 1]
+    cfg.MODEL.CENTERNET.CHANNELS = [4, 8, 8, 16, 16, 16]
+    cfg.MODEL.CENTERNET.HEAD_CONV = 8
+    cfg.TPU.DTYPE = "float32"
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), (64, 64))
+    return model, variables
+
+
+def test_export_round_trip(tmp_path):
+    model, variables = _tiny_centernet()
+    path = str(tmp_path / "model.stablehlo")
+    blob = export_stablehlo(model, variables, batch_size=2, image_size=(64, 64), path=path)
+    assert len(blob) > 1000
+
+    served = load_exported(path)
+    images = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32) * 255
+    out = served(images)
+    direct = model.predict_fn(variables, jnp.asarray(images))
+    for k in ("boxes", "scores", "classes"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(direct[k]), atol=1e-4
+        )
+
+
+def test_parameter_count():
+    model, variables = _tiny_centernet()
+    counts = parameter_count(variables["params"])
+    assert counts[""] > 1000
+    table = parameter_count_table(variables["params"])
+    assert "model" in table
+
+    flops = flop_count(
+        lambda im: model.predict_fn(variables, im), jnp.zeros((1, 64, 64, 3))
+    )
+    assert flops is None or flops > 0
