@@ -77,7 +77,7 @@ class COCOEval:
         cat_ids: Sequence,
         iou_type: str = "bbox",
     ) -> None:
-        assert iou_type in ("bbox", "segm"), iou_type
+        assert iou_type in ("bbox", "segm", "rotated_bbox"), iou_type
         self.iou_type = iou_type
         self.img_ids = list(img_ids)
         self.cat_ids = list(cat_ids)
@@ -86,7 +86,7 @@ class COCOEval:
         for g in gt_anns:
             g = dict(g)
             if "bbox" in g:
-                g.setdefault("area", g["bbox"][2] * g["bbox"][3])
+                g.setdefault("area", abs(g["bbox"][2] * g["bbox"][3]))
             else:
                 from ..structures.rle import rle_area
 
@@ -164,6 +164,12 @@ class COCOEval:
         }
 
     def _compute_iou(self, dts, gts, iscrowd) -> np.ndarray:
+        if self.iou_type == "rotated_bbox":
+            from ..structures.rotated_boxes import pairwise_iou_rotated
+
+            d5 = np.array([d["bbox"] for d in dts], np.float64).reshape(-1, 5)
+            g5 = np.array([g["bbox"] for g in gts], np.float64).reshape(-1, 5)
+            return pairwise_iou_rotated(d5, g5)
         if self.iou_type == "segm":
             from ..structures.rle import rle_iou
 

@@ -13,7 +13,7 @@ import numpy as np
 
 from ..config import CfgNode
 
-__all__ = ["DefaultAnchorGenerator", "build_anchor_generator"]
+__all__ = ["DefaultAnchorGenerator", "RotatedAnchorGenerator", "build_anchor_generator"]
 
 
 def _cell_anchors(sizes: Sequence[float], aspect_ratios: Sequence[float]) -> np.ndarray:
@@ -75,3 +75,49 @@ def build_anchor_generator(cfg: CfgNode, strides: Sequence[int]) -> DefaultAncho
     return DefaultAnchorGenerator(
         sizes=a.SIZES, aspect_ratios=a.ASPECT_RATIOS, strides=strides, offset=a.OFFSET
     )
+
+
+class RotatedAnchorGenerator:
+    """Rotated cell anchors: sizes x aspect_ratios x angles -> (A, 5)
+    (cx, cy, w, h, angle) anchors per cell (reference anchor_generator.py:232)."""
+
+    def __init__(self, sizes, aspect_ratios, angles, strides, offset: float = 0.5):
+        num_levels = len(strides)
+        if len(sizes) == 1:
+            sizes = list(sizes) * num_levels
+        if len(aspect_ratios) == 1:
+            aspect_ratios = list(aspect_ratios) * num_levels
+        if len(angles) == 1:
+            angles = list(angles) * num_levels
+        self.strides = list(strides)
+        self.offset = offset
+        self.cell_anchors = []
+        for s_l, a_l, an_l in zip(sizes, aspect_ratios, angles):
+            cells = []
+            for size in s_l:
+                area = size ** 2.0
+                for ar in a_l:
+                    w = math.sqrt(area / ar)
+                    h = ar * w
+                    for ang in an_l:
+                        cells.append([0.0, 0.0, w, h, float(ang)])
+            self.cell_anchors.append(np.asarray(cells, np.float32))
+
+    @property
+    def num_anchors(self):
+        return [len(c) for c in self.cell_anchors]
+
+    def grid_anchors(self, grid_sizes):
+        out = []
+        for (h, w), stride, cells in zip(grid_sizes, self.strides, self.cell_anchors):
+            shift_x = (np.arange(w, dtype=np.float32) + self.offset) * stride
+            shift_y = (np.arange(h, dtype=np.float32) + self.offset) * stride
+            sx, sy = np.meshgrid(shift_x, shift_y)
+            shifts = np.stack(
+                [sx, sy, np.zeros_like(sx), np.zeros_like(sx), np.zeros_like(sx)], -1
+            ).reshape(-1, 1, 5)
+            out.append((shifts + cells[None]).reshape(-1, 5))
+        return out
+
+    def __call__(self, grid_sizes):
+        return np.concatenate(self.grid_anchors(grid_sizes), axis=0)

@@ -10,7 +10,7 @@ from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 
-__all__ = ["Box2BoxTransform"]
+__all__ = ["Box2BoxTransform", "Box2BoxTransformRotated"]
 
 _DEFAULT_SCALE_CLAMP = math.log(1000.0 / 16)
 
@@ -71,3 +71,40 @@ class Box2BoxTransform:
             axis=-1,
         )
         return out.reshape(shape)
+
+
+class Box2BoxTransformRotated:
+    """5-param (dx, dy, dw, dh, da) deltas for rotated boxes
+    (reference box_regression.py:114-212); angles in degrees, da normalized
+    to (-180, 180]."""
+
+    def __init__(self, weights: Sequence[float] = (1.0, 1.0, 1.0, 1.0, 1.0),
+                 scale_clamp: float = _DEFAULT_SCALE_CLAMP):
+        self.weights = tuple(weights)
+        self.scale_clamp = scale_clamp
+
+    def get_deltas(self, src: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        wx, wy, ww, wh, wa = self.weights
+        eps = 1e-8
+        dx = wx * (target[..., 0] - src[..., 0]) / jnp.maximum(src[..., 2], eps)
+        dy = wy * (target[..., 1] - src[..., 1]) / jnp.maximum(src[..., 3], eps)
+        dw = ww * jnp.log(jnp.maximum(target[..., 2], eps) / jnp.maximum(src[..., 2], eps))
+        dh = wh * jnp.log(jnp.maximum(target[..., 3], eps) / jnp.maximum(src[..., 3], eps))
+        da = target[..., 4] - src[..., 4]
+        da = (da + 180.0) % 360.0 - 180.0
+        return jnp.stack([dx, dy, dw, dh, wa * da * jnp.pi / 180.0], axis=-1)
+
+    def apply_deltas(self, deltas: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+        wx, wy, ww, wh, wa = self.weights
+        boxes = boxes.astype(deltas.dtype)
+        dx = deltas[..., 0] / wx
+        dy = deltas[..., 1] / wy
+        dw = jnp.minimum(deltas[..., 2] / ww, self.scale_clamp)
+        dh = jnp.minimum(deltas[..., 3] / wh, self.scale_clamp)
+        da = deltas[..., 4] * 180.0 / jnp.pi / wa
+        cx = dx * boxes[..., 2] + boxes[..., 0]
+        cy = dy * boxes[..., 3] + boxes[..., 1]
+        w = jnp.exp(dw) * boxes[..., 2]
+        h = jnp.exp(dh) * boxes[..., 3]
+        a = (boxes[..., 4] + da + 180.0) % 360.0 - 180.0
+        return jnp.stack([cx, cy, w, h, a], axis=-1)

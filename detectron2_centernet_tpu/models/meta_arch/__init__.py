@@ -1,6 +1,7 @@
 from .centernet import CenterNet, CenterNetModel, focal_loss, reg_l1_loss
 from .panoptic_fpn import PanopticFPN
 from .rcnn import GeneralizedRCNN, ProposalNetwork
+from .rotated_rcnn import RotatedRCNN
 from .semantic_seg import SemanticSegmentor, SemSegFPNHead
 from .retinanet import RetinaNet, RetinaNetHead, sigmoid_focal_loss, smooth_l1
 
@@ -11,6 +12,7 @@ __all__ = [
     "SemanticSegmentor",
     "SemSegFPNHead",
     "ProposalNetwork",
+    "RotatedRCNN",
     "CenterNetModel",
     "RetinaNet",
     "RetinaNetHead",

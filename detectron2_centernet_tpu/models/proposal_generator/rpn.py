@@ -26,6 +26,7 @@ class StandardRPNHead(nn.Module):
 
     num_anchors: int
     channels: int = 256
+    box_dim: int = 4  # 5 for rotated (RRPN)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -35,7 +36,7 @@ class StandardRPNHead(nn.Module):
                        dtype=self.dtype, name="conv")
         objectness = nn.Conv(self.num_anchors, (1, 1), kernel_init=w_init,
                              dtype=jnp.float32, name="objectness_logits")
-        deltas = nn.Conv(self.num_anchors * 4, (1, 1), kernel_init=w_init,
+        deltas = nn.Conv(self.num_anchors * self.box_dim, (1, 1), kernel_init=w_init,
                          dtype=jnp.float32, name="anchor_deltas")
         logits, reg = [], []
         for f in features:

@@ -38,6 +38,7 @@ class FastRCNNConvFCHead(nn.Module):
 class FastRCNNOutputLayers(nn.Module):
     num_classes: int
     cls_agnostic_bbox_reg: bool = False
+    box_dim: int = 4  # 5 for rotated
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -49,7 +50,11 @@ class FastRCNNOutputLayers(nn.Module):
             self.num_classes + 1, kernel_init=nn.initializers.normal(0.01),
             dtype=jnp.float32, name="cls_score",
         )(x.astype(jnp.float32))
-        num_bbox = 4 if self.cls_agnostic_bbox_reg else 4 * self.num_classes
+        num_bbox = (
+            self.box_dim
+            if self.cls_agnostic_bbox_reg
+            else self.box_dim * self.num_classes
+        )
         deltas = nn.Dense(
             num_bbox, kernel_init=nn.initializers.normal(0.001),
             dtype=jnp.float32, name="bbox_pred",
