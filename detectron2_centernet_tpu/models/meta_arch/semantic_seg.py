@@ -61,6 +61,48 @@ class SemSegFPNHead(nn.Module):
         )
 
 
+class DeepLabV3PlusHead(nn.Module):
+    """DeepLabV3+ semantic head (the capability of the reference's
+    ``projects/DeepLab``): ASPP over the deepest feature + low-level fusion
+    at the common stride + decoder convs."""
+
+    in_features: Tuple[str, ...]  # (low_level, deep), e.g. ("res2", "res5")
+    strides: Tuple[int, ...]
+    num_classes: int
+    convs_dim: int = 256
+    common_stride: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Dict[str, jnp.ndarray], train: bool = False) -> jnp.ndarray:
+        from ..layers import ASPP
+
+        low = features[self.in_features[0]]
+        deep = features[self.in_features[-1]]
+        x = ASPP(self.convs_dim, dtype=self.dtype, name="aspp")(deep, train)
+        n, h, w, c = x.shape
+        lh, lw = low.shape[1:3]
+        x = jax.image.resize(x, (n, lh, lw, c), method="bilinear")
+        low_proj = nn.relu(
+            nn.Conv(48, (1, 1), dtype=self.dtype, name="low_level_proj")(low)
+        )
+        x = jnp.concatenate([x, low_proj], axis=-1)
+        for i in range(2):
+            x = nn.relu(
+                nn.Conv(self.convs_dim, (3, 3), padding="SAME", dtype=self.dtype,
+                        name=f"decoder{i}")(x)
+            )
+        logits = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32, name="predictor")(
+            x.astype(jnp.float32)
+        )
+        scale = self.strides[0] // self.common_stride if self.strides else 1
+        up = self.common_stride
+        n, h2, w2, cc = logits.shape
+        return jax.image.resize(
+            logits, (n, h2 * up, w2 * up, cc), method="bilinear"
+        )
+
+
 def sem_seg_loss(logits: jnp.ndarray, targets: jnp.ndarray, ignore_value: int = 255) -> jnp.ndarray:
     """Pixel CE with ignore label (reference semantic_seg.py:184-199)."""
     valid = targets != ignore_value
@@ -87,7 +129,12 @@ class SemanticSegmentor:
         strides_map = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64, "p7": 128}
         in_features = tuple(s.IN_FEATURES)
 
-        head = SemSegFPNHead(
+        strides_map.update({"res2": 4, "res3": 8, "res4": 16, "res5": 32})
+        head_cls = {
+            "SemSegFPNHead": SemSegFPNHead,
+            "DeepLabV3PlusHead": DeepLabV3PlusHead,
+        }[s.NAME]
+        head = head_cls(
             in_features=in_features,
             strides=tuple(strides_map[f] for f in in_features),
             num_classes=self.num_classes,
