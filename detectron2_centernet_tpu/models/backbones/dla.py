@@ -22,8 +22,16 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...config import CfgNode
+from flax import linen as _nn
+
 from ..layers import BilinearUpsample, ConvBnAct, DeformConvV2
 from ..registry import BACKBONE_REGISTRY
+
+# Rematerialized variants: the deformable blocks' sampling intermediates are
+# the dominant training-memory cost (the blocked-window path materializes
+# (H*W, K, Wp) weight tensors); recomputing them in backward trades ~30%
+# extra FLOPs on these ops for an order of magnitude less live memory.
+DeformConvV2R = _nn.remat(DeformConvV2, static_argnums=(2,))
 
 
 class DLABasicBlock(nn.Module):
@@ -198,11 +206,11 @@ class IDAUp(nn.Module):
         layers = list(layers)
         for i in range(startp + 1, endp):
             j = i - startp
-            p = DeformConvV2(
+            p = DeformConvV2R(
                 self.features, window=self.dcn_window, dtype=self.dtype, name=f"proj_{j}"
             )(layers[i], train)
             up = BilinearUpsample(int(self.up_factors[j]), dtype=self.dtype, name=f"up_{j}")(p)
-            layers[i] = DeformConvV2(
+            layers[i] = DeformConvV2R(
                 self.features, window=self.dcn_window, dtype=self.dtype, name=f"node_{j}"
             )(up + layers[i - 1], train)
         return layers
