@@ -7,6 +7,7 @@ from .resnet import (
 )
 from .vovnet import VoVNet, build_vovnet_backbone
 from .fpn import FPN, build_resnet_fpn_backbone, build_retinanet_resnet_fpn_backbone
+from .trident import TridentResNet, build_trident_resnet_backbone
 
 __all__ = [
     "DLA34",

@@ -2,6 +2,7 @@ from .centernet import CenterNet, CenterNetModel, focal_loss, reg_l1_loss
 from .panoptic_fpn import PanopticFPN
 from .rcnn import GeneralizedRCNN, ProposalNetwork
 from .rotated_rcnn import RotatedRCNN
+from .trident_rcnn import TridentRCNN
 from .semantic_seg import SemanticSegmentor, SemSegFPNHead
 from .retinanet import RetinaNet, RetinaNetHead, sigmoid_focal_loss, smooth_l1
 
@@ -13,6 +14,7 @@ __all__ = [
     "SemSegFPNHead",
     "ProposalNetwork",
     "RotatedRCNN",
+    "TridentRCNN",
     "CenterNetModel",
     "RetinaNet",
     "RetinaNetHead",

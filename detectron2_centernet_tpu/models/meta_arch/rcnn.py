@@ -365,6 +365,9 @@ class GeneralizedRCNN:
         anchors_per_level = self._anchors_per_level((h, w))
         anchors = jnp.concatenate(anchors_per_level, axis=0)
         lg, dl = self._flatten_rpn(logits, deltas)
+        # batch size from the RPN outputs, not the images: branch-folding
+        # backbones (TridentNet) emit more feature maps than input images
+        n = lg[0].shape[0]
         rng = batch.get("rng")
         if rng is None:
             rng = jax.random.PRNGKey(0)

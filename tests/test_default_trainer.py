@@ -1,0 +1,86 @@
+"""DefaultTrainer end-to-end inside the test suite (train + checkpoint +
+resume + COCOEvaluator), mirroring the reference's engine tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from detectron2_centernet_tpu.config import get_cfg
+from detectron2_centernet_tpu.data import DatasetCatalog, MetadataCatalog
+from detectron2_centernet_tpu.engine import DefaultTrainer
+
+
+def _synth(n=8):
+    rng = np.random.RandomState(3)
+    dicts = []
+    for i in range(n):
+        h, w = 64, 64
+        img = np.zeros((h, w, 3), np.uint8)
+        x, y = int(rng.randint(4, 30)), int(rng.randint(4, 30))
+        img[y : y + 16, x : x + 20, 0] = 255
+        dicts.append(
+            {
+                "image": img,
+                "height": h,
+                "width": w,
+                "image_id": i,
+                "file_name": f"s{i}.png",
+                "annotations": [
+                    {
+                        "bbox": [float(x), float(y), 20.0, 16.0],
+                        "bbox_mode": 1,
+                        "category_id": 0,
+                        "iscrowd": 0,
+                    }
+                ],
+            }
+        )
+    return dicts
+
+
+@pytest.fixture()
+def synth_dataset():
+    name = "_trainer_synth"
+    DatasetCatalog.register(name, _synth)
+    MetadataCatalog.get(name).set(thing_classes=["obj"])
+    yield name
+    DatasetCatalog.remove(name)
+    MetadataCatalog.remove(name)
+
+
+def test_default_trainer_train_eval_resume(tmp_path, synth_dataset):
+    cfg = get_cfg()
+    cfg.DATASETS.TRAIN = (synth_dataset,)
+    cfg.DATASETS.TEST = (synth_dataset,)
+    cfg.MODEL.META_ARCHITECTURE = "CenterNet"
+    cfg.MODEL.BACKBONE.NAME = "build_dla34_backbone"
+    cfg.MODEL.CENTERNET.LEVELS = [1, 1, 1, 1, 1, 1]
+    cfg.MODEL.CENTERNET.CHANNELS = [4, 8, 8, 16, 16, 16]
+    cfg.MODEL.CENTERNET.HEAD_CONV = 8
+    cfg.MODEL.CENTERNET.MAX_OBJS = 4
+    cfg.INPUT.TRAIN_SIZE = (64, 64)
+    cfg.INPUT.TEST_SIZE = (64, 64)
+    cfg.TPU.DTYPE = "float32"
+    cfg.SOLVER.IMS_PER_BATCH = 4
+    cfg.SOLVER.MAX_ITER = 6
+    cfg.SOLVER.BASE_LR = 0.001
+    cfg.SOLVER.WARMUP_ITERS = 2
+    cfg.SOLVER.CHECKPOINT_PERIOD = 4
+    cfg.TEST.BATCH_SIZE = 4
+    cfg.DATALOADER.NUM_WORKERS = 1
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.freeze()
+
+    trainer = DefaultTrainer(cfg)
+    trainer.resume_or_load(resume=False)
+    trainer.train()
+    assert os.path.exists(os.path.join(str(tmp_path), "model_final"))
+    assert os.path.exists(os.path.join(str(tmp_path), "metrics.json"))
+
+    results = DefaultTrainer.test(cfg, trainer)
+    assert "bbox" in results and "AP" in results["bbox"]
+
+    trainer2 = DefaultTrainer(cfg)
+    trainer2.resume_or_load(resume=True)
+    assert trainer2.start_iter == 6
