@@ -57,6 +57,7 @@ def _model_defaults() -> CN:
     m.ROI_BOX_CASCADE_HEAD = _cascade_head_defaults()
     m.ROI_MASK_HEAD = _roi_mask_head_defaults()
     m.ROI_KEYPOINT_HEAD = _roi_keypoint_head_defaults()
+    m.POINT_HEAD = _point_head_defaults()
     m.SEM_SEG_HEAD = _sem_seg_head_defaults()
     m.PANOPTIC_FPN = _panoptic_fpn_defaults()
     m.RETINANET = _retinanet_defaults()
@@ -145,6 +146,22 @@ def _roi_mask_head_defaults() -> CN:
     mh.CLS_AGNOSTIC_MASK = False
     mh.POOLER_TYPE = "ROIAlignV2"
     return mh
+
+
+def _point_head_defaults() -> CN:
+    """PointRend point head (reference projects/PointRend config)."""
+    ph = CN()
+    ph.NAME = "StandardPointHead"
+    ph.NUM_CLASSES = 80
+    ph.FC_DIM = 256
+    ph.NUM_FC = 3
+    ph.TRAIN_NUM_POINTS = 196
+    ph.OVERSAMPLE_RATIO = 3
+    ph.IMPORTANCE_SAMPLE_RATIO = 0.75
+    ph.SUBDIVISION_STEPS = 2
+    ph.SUBDIVISION_NUM_POINTS = 196
+    ph.IN_FEATURES = ["p2"]
+    return ph
 
 
 def _roi_keypoint_head_defaults() -> CN:

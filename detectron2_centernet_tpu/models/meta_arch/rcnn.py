@@ -47,6 +47,12 @@ from ..roi_heads.mask_head import (
     crop_gt_masks,
     mask_rcnn_loss,
 )
+from ..roi_heads.point_head import (
+    PointHead,
+    point_sample,
+    refine_mask_with_points,
+    sample_uncertain_points,
+)
 from ..roi_heads.roi_heads import (
     fast_rcnn_inference,
     fast_rcnn_losses,
@@ -76,6 +82,9 @@ class RCNNNetwork(nn.Module):
     keypoint_on: bool = False
     num_keypoints: int = 17
     keypoint_pooler_resolution: int = 14
+    point_rend_on: bool = False
+    point_fc_dim: int = 256
+    point_num_fc: int = 3
     # Res5ROIHeads (C4): the res5 stage runs on pooled 14x14 rois
     # (reference roi_heads.py:345-475)
     res5_reps: int = 3
@@ -134,6 +143,11 @@ class RCNNNetwork(nn.Module):
             self.keypoint_head = KRCNNConvDeconvUpsampleHead(
                 self.num_keypoints, dtype=self.dtype,
             )
+        if self.point_rend_on:
+            self.point_head = PointHead(
+                1, fc_dim=self.point_fc_dim, num_fc=self.point_num_fc,
+                dtype=self.dtype,
+            )
 
     def backbone_rpn(self, images, train: bool = False):
         feats = self.backbone(images, train)
@@ -164,6 +178,10 @@ class RCNNNetwork(nn.Module):
         """pooled (R, P, P, C) -> (R, 4P, 4P, K) keypoint logits."""
         return self.keypoint_head(pooled, train)
 
+    def point_predict(self, fine, coarse):
+        """fine (..., P, Cf) + coarse logits (..., P, 1) -> (..., P, 1)."""
+        return self.point_head(fine, coarse)
+
     def __call__(self, images, train: bool = False):
         # init path: trace every submodule once
         feats, logits, deltas = self.backbone_rpn(images, train)
@@ -182,6 +200,10 @@ class RCNNNetwork(nn.Module):
         if self.keypoint_on:
             kp = self.keypoint_pooler_resolution
             self.keypoint_predict(jnp.zeros((1, kp, kp, c), f0.dtype), train)
+        if self.point_rend_on:
+            self.point_predict(
+                jnp.zeros((1, 4, c), f0.dtype), jnp.zeros((1, 4, 1), jnp.float32)
+            )
         return logits
 
 
@@ -238,6 +260,15 @@ class GeneralizedRCNN:
         self.mask_on = bool(cfg.MODEL.MASK_ON)
         mh = cfg.MODEL.ROI_MASK_HEAD
         self.mask_pooler_resolution = int(mh.POOLER_RESOLUTION)
+        self.point_rend_on = (
+            bool(cfg.MODEL.MASK_ON) and mh.NAME == "PointRendMaskHead"
+        )
+        ph = cfg.MODEL.POINT_HEAD
+        self.point_train_num = int(ph.TRAIN_NUM_POINTS)
+        self.point_oversample = int(ph.OVERSAMPLE_RATIO)
+        self.point_importance = float(ph.IMPORTANCE_SAMPLE_RATIO)
+        self.point_steps = int(ph.SUBDIVISION_STEPS)
+        self.point_subdiv_num = int(ph.SUBDIVISION_NUM_POINTS)
         self.keypoint_on = bool(cfg.MODEL.KEYPOINT_ON)
         kh = cfg.MODEL.ROI_KEYPOINT_HEAD
         self.num_keypoints = int(kh.NUM_KEYPOINTS)
@@ -276,6 +307,9 @@ class GeneralizedRCNN:
             keypoint_on=self.keypoint_on,
             num_keypoints=self.num_keypoints,
             keypoint_pooler_resolution=int(kh.POOLER_RESOLUTION),
+            point_rend_on=self.point_rend_on,
+            point_fc_dim=int(ph.FC_DIM),
+            point_num_fc=int(ph.NUM_FC),
             dtype=dtype,
         )
 
@@ -464,6 +498,48 @@ class GeneralizedRCNN:
                 mask_logits, gt_crop, flat_sampled["classes"], fg
             )
 
+            if self.point_rend_on:
+                # sample uncertain points on each roi's gt-class coarse mask,
+                # refine with the point head, supervise at the gt mask values
+                cls = jnp.clip(flat_sampled["classes"], 0, self.num_classes - 1)
+                sel_logits = jnp.take_along_axis(
+                    mask_logits, cls[:, None, None, None], axis=3
+                )[..., 0]  # (N*S, P2, P2)
+                fine_key = self.roi_in_features[0]
+                fine_pooled = self._pool(
+                    feats, flat_boxes, batch_idx, self.mask_pooler_resolution * 2
+                )  # (N*S, 2P, 2P, C)
+                rngs = jax.random.split(
+                    batch.get("rng", jax.random.PRNGKey(0)), sel_logits.shape[0]
+                )
+
+                def per_roi(rng_i, lg, fine, gtr):
+                    pts = sample_uncertain_points(
+                        lg, rng_i, self.point_train_num,
+                        self.point_oversample, self.point_importance,
+                    )
+                    fine_v = point_sample(fine, pts)
+                    coarse_v = point_sample(lg[:, :, None], pts)
+                    tgt = point_sample(gtr[:, :, None], pts)[:, 0]
+                    return fine_v, coarse_v, tgt
+
+                fine_v, coarse_v, tgt = jax.vmap(per_roi)(
+                    rngs, sel_logits, fine_pooled, gt_crop
+                )
+                point_logits = self.module.apply(
+                    variables, fine_v, coarse_v, method=RCNNNetwork.point_predict
+                )[..., 0]  # (N*S, P)
+                t = (tgt > 0.5).astype(jnp.float32)
+                ce = (
+                    jnp.maximum(point_logits, 0)
+                    - point_logits * t
+                    + jnp.log1p(jnp.exp(-jnp.abs(point_logits)))
+                )
+                num_fg = jnp.maximum(fg.sum(), 1.0)
+                losses["loss_mask_point"] = (
+                    ce.mean(axis=1) * fg
+                ).sum() / num_fg
+
         if self.keypoint_on and "gt_keypoints" in batch:
             kp_pooled = self._pool(
                 feats, flat_boxes, batch_idx, self.keypoint_pooler_resolution
@@ -550,6 +626,21 @@ class GeneralizedRCNN:
             sel = jnp.take_along_axis(
                 mask_logits, cls[:, None, None, None], axis=3
             )[..., 0]
+            if self.point_rend_on:
+                fine_pooled = self._pool(
+                    feats, det_boxes, det_idx, self.mask_pooler_resolution * 2
+                )
+
+                def refine_one(lg, fine):
+                    return refine_mask_with_points(
+                        lg, fine,
+                        lambda fv, cv: self.module.apply(
+                            variables, fv, cv, method=RCNNNetwork.point_predict
+                        ),
+                        self.point_subdiv_num, self.point_steps,
+                    )
+
+                sel = jax.vmap(refine_one)(sel, fine_pooled)
             p2 = sel.shape[-1]
             dets["masks"] = jax.nn.sigmoid(sel).reshape(n, k, p2, p2)
         if self.keypoint_on:
