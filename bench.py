@@ -18,7 +18,7 @@ import numpy as np
 BASELINE_IMG_S = 104.0  # ~A100 img/s for ctdet DLA-34 512x512 (2x Titan Xp 52 FPS)
 BATCH = 16
 WARMUP = 3
-ITERS = 10
+ITERS = 30
 
 
 def main() -> None:
