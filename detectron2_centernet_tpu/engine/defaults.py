@@ -324,6 +324,53 @@ class DefaultTrainer(SimpleTrainer):
             results = list(results.values())[0]
         return results
 
+    @classmethod
+    def test_with_TTA(cls, cfg: CfgNode, trainer_or_model, evaluators=None) -> OrderedDict:
+        """Multi-scale + flip evaluation (reference train_net.py:105-120 +
+        GeneralizedRCNNWithTTA): runs the TTA predictor image-by-image over
+        every cfg.DATASETS.TEST and feeds the standard evaluators."""
+        from ..models.test_time_augmentation import TTAPredictor
+
+        if isinstance(trainer_or_model, DefaultTrainer):
+            model = trainer_or_model.model
+            variables = {
+                "params": trainer_or_model.state.params,
+                "batch_stats": trainer_or_model.state.batch_stats,
+            }
+        else:
+            model = trainer_or_model
+            variables = model.variables
+        tta = TTAPredictor(cfg, model, variables)
+
+        from ..data import DatasetCatalog
+        from ..data.detection_utils import read_image
+
+        results = OrderedDict()
+        for idx, dataset_name in enumerate(cfg.DATASETS.TEST):
+            if evaluators is not None:
+                evaluator = evaluators[idx]
+            else:
+                evaluator = cls.build_evaluator(cfg, dataset_name)
+            evaluator.reset()
+            for d in DatasetCatalog.get(dataset_name):
+                image = (
+                    d["image"]
+                    if "image" in d
+                    else read_image(d["file_name"], cfg.INPUT.FORMAT)
+                )
+                out = tta(np.asarray(image))
+                evaluator.process(
+                    [{"image_id": d.get("image_id", 0),
+                      "height": d["height"], "width": d["width"]}],
+                    [out],
+                )
+            results[dataset_name] = evaluator.evaluate() or {}
+            if comm.is_main_process():
+                print_csv_format(results[dataset_name])
+        if len(results) == 1:
+            results = list(results.values())[0]
+        return results
+
     @staticmethod
     def auto_scale_workers(cfg: CfgNode, num_workers: int) -> CfgNode:
         """Linear-scaling rule (reference defaults.py:535-579)."""

@@ -56,7 +56,11 @@ class TTAPredictor:
 
         self.model = model
         self.variables = variables
-        self.sizes = list(sizes if sizes is not None else cfg.TEST.AUG.MIN_SIZES)
+        sizes = list(sizes if sizes is not None else cfg.TEST.AUG.MIN_SIZES)
+        # round each variant up to the model's size divisibility (CenterNet
+        # DLA needs multiples of 32; reference ImageList does the same)
+        div = int(getattr(model, "size_divisibility", 1) or 1)
+        self.sizes = sorted({((sz + div - 1) // div) * div for sz in sizes})
         self.flip = bool(cfg.TEST.AUG.FLIP if flip is None else flip)
         self.nms_thresh = nms_thresh
         self.max_detections = max_detections or cfg.TEST.DETECTIONS_PER_IMAGE

@@ -75,7 +75,9 @@ def main(args):
         trainer.resume_or_load(resume=args.resume)
         res = Trainer.test(cfg, trainer)
         if cfg.TEST.AUG.ENABLED:
-            raise NotImplementedError("TEST.AUG for --eval-only: use TTA via the predictor")
+            res.update(
+                {f"{k}_TTA": v for k, v in Trainer.test_with_TTA(cfg, trainer).items()}
+            )
         verify_results(cfg, res)
         return res
 
