@@ -57,7 +57,16 @@ class Checkpointer:
             return self.state
         logger.info("Loading checkpoint from %s", path)
         template = jax.tree_util.tree_map(np.asarray, self.state)
-        self.state = self._ckpt.restore(path, item=template)
+        restored = self._ckpt.restore(path, item=template)
+        if weights_only and hasattr(restored, "replace") and hasattr(self.state, "step"):
+            # Reference load-weights-only fine-tune semantics
+            # (engine/defaults.py:303-319): take params/batch_stats from the
+            # checkpoint but keep the fresh step/opt_state so the LR schedule
+            # starts from iteration 0 instead of silently resuming mid-run.
+            restored = self.state.replace(
+                params=restored.params, batch_stats=restored.batch_stats
+            )
+        self.state = restored
         return self.state
 
     def has_checkpoint(self) -> bool:

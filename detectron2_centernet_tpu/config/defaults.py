@@ -391,10 +391,13 @@ def _tpu_defaults() -> CN:
     t.MESH_AXIS = "data"
     # Number of devices to shard over; -1 = all local devices.
     t.NUM_DEVICES = -1
-    # Deformable-conv offset window (pixels at feature resolution): offsets
-    # are clamped to [-W, W] and sampling uses the blocked patch-gather fast
-    # path (ops/deform_conv.py). 0 = exact unbounded offsets (slower).
-    t.DCN_WINDOW = 4
+    # Deformable-conv offset window (pixels at feature resolution): 0 (the
+    # default) = exact unbounded-offset DCNv2, bit-matching the reference's
+    # semantics. Setting W > 0 opts into the blocked fast path that CLAMPS
+    # offsets to [-W, W] (ops/deform_conv.py) — identical whenever
+    # |offset| <= W, but an accuracy-affecting approximation for imported
+    # reference weights whose offsets may exceed the window.
+    t.DCN_WINDOW = 0
     return t
 
 

@@ -12,6 +12,7 @@ flax modules.  BatchNorm notes:
     (layers/batch_norm.py:153-240).
 """
 
+import logging
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -59,6 +60,9 @@ class ConvBnAct(nn.Module):
         return x
 
 
+_warned_window = False
+
+
 def _dcn_offset_mask_init(key, shape, dtype=jnp.float32):
     """Zero init: offsets start at 0 and masks at sigmoid(0)=0.5, so a fresh
     DCN behaves like half a plain conv (DCNv2's reset convention)."""
@@ -80,6 +84,16 @@ class DeformConvV2(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        global _warned_window
+        if self.window > 0 and not _warned_window:
+            _warned_window = True
+            logging.getLogger(__name__).warning(
+                "TPU.DCN_WINDOW=%d clamps deformable-conv offsets to ±%d px — "
+                "exact only while |offset| <= window; verify accuracy before "
+                "using with imported reference weights.",
+                self.window,
+                self.window,
+            )
         cin = x.shape[-1]
         om = nn.Conv(
             27,

@@ -15,6 +15,7 @@ framework's static-shape contract:
 Supports ``StandardROIHeads`` (FPN, box path) and ``Res5ROIHeads`` (C4).
 """
 
+import logging
 import math
 from typing import Any, Dict, List, Tuple
 
@@ -29,6 +30,8 @@ from ...structures import Boxes, Instances
 from ..anchors import build_anchor_generator
 from ..box_regression import Box2BoxTransform
 from ..matcher import Matcher
+
+logger = logging.getLogger(__name__)
 from ..proposal_generator.rpn import (
     StandardRPNHead,
     find_top_rpn_proposals,
@@ -279,7 +282,25 @@ class GeneralizedRCNN:
         self.box2box = Box2BoxTransform(tuple(bh.BBOX_REG_WEIGHTS))
         self.smooth_l1_beta = float(bh.SMOOTH_L1_BETA)
         self.pooler_resolution = int(bh.POOLER_RESOLUTION)
-        self.pooler_sampling_ratio = int(bh.POOLER_SAMPLING_RATIO) or 2
+        # Reference SAMPLING_RATIO=0 means adaptive ceil(roi/bin) samples per
+        # bin (poolers.py); adaptive counts are data-dependent shapes, so the
+        # TPU pooler approximates 0 with a fixed 2x2 grid (warn once).
+        self.pooler_sampling_ratio = int(bh.POOLER_SAMPLING_RATIO)
+        if self.pooler_sampling_ratio == 0:
+            logger.warning(
+                "ROI_BOX_HEAD.POOLER_SAMPLING_RATIO=0 (adaptive) is "
+                "approximated with a fixed 2x2 sample grid on TPU."
+            )
+            self.pooler_sampling_ratio = 2
+        num_conv, num_fc = int(bh.NUM_CONV), int(bh.NUM_FC)
+        if self.roi_type != "res5" and num_conv == 0 and num_fc == 0:
+            # an FPN box head needs at least one layer; keep the legacy
+            # defaults-compatible shape but say so instead of coercing zeros
+            logger.warning(
+                "ROI_BOX_HEAD.NUM_CONV and NUM_FC are both 0; defaulting to "
+                "the standard 2-fc head (set either explicitly to silence)."
+            )
+            num_fc = 2
 
         self.module = RCNNNetwork(
             backbone=self.backbone,
@@ -287,9 +308,9 @@ class GeneralizedRCNN:
             num_anchors=self.num_anchors_per_cell,
             roi_type=self.roi_type,
             num_classes=self.num_classes,
-            num_conv=int(bh.NUM_CONV),
+            num_conv=num_conv,
             conv_dim=int(bh.CONV_DIM),
-            num_fc=int(bh.NUM_FC) or 2,
+            num_fc=num_fc,
             fc_dim=int(bh.FC_DIM),
             cls_agnostic=bool(bh.CLS_AGNOSTIC_BBOX_REG),
             pooler_resolution=int(bh.POOLER_RESOLUTION),
@@ -301,7 +322,7 @@ class GeneralizedRCNN:
             res5_norm=cfg.MODEL.RESNETS.NORM,
             cascade_stages=len(self.cascade_ious),
             mask_on=self.mask_on,
-            mask_num_conv=int(mh.NUM_CONV) or 4,
+            mask_num_conv=int(mh.NUM_CONV),
             mask_conv_dim=int(mh.CONV_DIM),
             mask_pooler_resolution=int(mh.POOLER_RESOLUTION),
             keypoint_on=self.keypoint_on,
@@ -405,7 +426,7 @@ class GeneralizedRCNN:
         rng = batch.get("rng")
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        rng_rpn, rng_roi = jax.random.split(rng)
+        rng_rpn, rng_roi, rng_point = jax.random.split(rng, 3)
 
         losses = rpn_losses(
             anchors, jnp.concatenate(lg, 1), jnp.concatenate(dl, 1),
@@ -509,9 +530,9 @@ class GeneralizedRCNN:
                 fine_pooled = self._pool(
                     feats, flat_boxes, batch_idx, self.mask_pooler_resolution * 2
                 )  # (N*S, 2P, 2P, C)
-                rngs = jax.random.split(
-                    batch.get("rng", jax.random.PRNGKey(0)), sel_logits.shape[0]
-                )
+                # dedicated stream: rng_rpn/rng_roi already consumed the
+                # step key's first splits (independent point sampling)
+                rngs = jax.random.split(rng_point, sel_logits.shape[0])
 
                 def per_roi(rng_i, lg, fine, gtr):
                     pts = sample_uncertain_points(

@@ -52,11 +52,12 @@ def label_and_sample_proposals(
     iou = jnp.where(proposal_valid[None, :], iou, -1.0)
     matches, labels = matcher(iou, gt_valid)  # labels in {0 neg, 1 pos} (no ignore for ROI matcher)
     labels = jnp.where(proposal_valid, labels.astype(jnp.int32), -1)
-    sel = subsample_labels(labels, num_samples, positive_fraction, rng)  # (P+M,)
+    rng_sub, rng_tie = jax.random.split(rng)
+    sel = subsample_labels(labels, num_samples, positive_fraction, rng_sub)  # (P+M,)
 
     # gather the sampled slots into fixed S entries: positives first
     priority = jnp.where(sel == 1, 2.0, jnp.where(sel == 0, 1.0, 0.0))
-    priority = priority + jax.random.uniform(rng, priority.shape) * 1e-3
+    priority = priority + jax.random.uniform(rng_tie, priority.shape) * 1e-3
     _, idx = jax.lax.top_k(priority, num_samples)  # (S,)
     sel_s = sel[idx]
     boxes = proposals[idx]

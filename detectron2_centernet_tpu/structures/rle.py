@@ -11,7 +11,72 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
-__all__ = ["mask_to_rle", "rle_to_mask", "rle_area", "rle_iou"]
+__all__ = [
+    "mask_to_rle",
+    "rle_to_mask",
+    "rle_area",
+    "rle_iou",
+    "decode_counts",
+    "encode_counts",
+    "ensure_uncompressed",
+]
+
+
+def decode_counts(s) -> List[int]:
+    """Decode a compressed COCO counts string (pycocotools ``rleFrString``:
+    delta-coded LEB128 variant, 5 data bits per char, chars offset by 48).
+
+    Real COCO ground truth stores crowd segmentations this way
+    (``{"size": [h, w], "counts": "<ascii>"}``).
+    """
+    if isinstance(s, bytes):
+        s = s.decode("ascii")
+    counts: List[int] = []
+    pos = 0
+    n = len(s)
+    while pos < n:
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = ord(s[pos]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            pos += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
+
+
+def encode_counts(counts: Sequence[int]) -> str:
+    """Inverse of :func:`decode_counts` (pycocotools ``rleToString``)."""
+    out = []
+    for i, c in enumerate(counts):
+        x = int(c)
+        if i > 2:
+            x -= int(counts[i - 2])
+        more = True
+        while more:
+            ch = x & 0x1F
+            x >>= 5
+            more = (x != -1) if (ch & 0x10) else (x != 0)
+            if more:
+                ch |= 0x20
+            out.append(chr(ch + 48))
+    return "".join(out)
+
+
+def ensure_uncompressed(rle: Dict) -> Dict:
+    """Return an RLE dict whose ``counts`` is a list[int]; decodes the
+    compressed-string form in place-compatible copy if needed."""
+    counts = rle["counts"]
+    if isinstance(counts, (str, bytes)):
+        return {"size": rle["size"], "counts": decode_counts(counts)}
+    return rle
 
 
 def mask_to_rle(mask: np.ndarray) -> Dict:
@@ -29,6 +94,7 @@ def mask_to_rle(mask: np.ndarray) -> Dict:
 
 
 def rle_to_mask(rle: Dict) -> np.ndarray:
+    rle = ensure_uncompressed(rle)
     h, w = rle["size"]
     counts = rle["counts"]
     flat = np.zeros(h * w, bool)
@@ -43,7 +109,7 @@ def rle_to_mask(rle: Dict) -> np.ndarray:
 
 
 def rle_area(rle: Dict) -> int:
-    return int(sum(rle["counts"][1::2]))
+    return int(sum(ensure_uncompressed(rle)["counts"][1::2]))
 
 
 def _run_starts(counts: Sequence[int]):
@@ -63,6 +129,8 @@ def rle_iou(dets: List[Dict], gts: List[Dict], iscrowd: Sequence[int]) -> np.nda
     """Pairwise mask IoU (crowd gt -> intersection / det area), matching
     pycocotools ``maskUtils.iou`` semantics."""
     out = np.zeros((len(dets), len(gts)), np.float64)
+    dets = [ensure_uncompressed(d) for d in dets]
+    gts = [ensure_uncompressed(g) for g in gts]
     det_runs = [_run_starts(d["counts"]) for d in dets]
     gt_runs = [_run_starts(g["counts"]) for g in gts]
     det_areas = [rle_area(d) for d in dets]
