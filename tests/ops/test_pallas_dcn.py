@@ -1,47 +1,79 @@
-"""Pallas DCN sampling kernel vs numpy reference (TPU-only).
+"""Pallas DCN v2 (tent-matmul) vs the exact XLA op.
 
-The kernel needs a real TPU (Mosaic); the CPU test platform skips it.
-Run manually on hardware: JAX_PLATFORMS= pytest tests/ops/test_pallas_dcn.py
+Runs in interpreter mode so CI exercises the kernel math on CPU; the same
+code compiles via Mosaic on TPU (benchmarked separately).
 """
 
 import numpy as np
 import pytest
 
 import jax
-
-if not any(d.platform == "tpu" for d in jax.devices()):
-    pytest.skip("Pallas DCN kernel requires a TPU", allow_module_level=True)
-
 import jax.numpy as jnp
 
-from detectron2_centernet_tpu.ops.pallas_dcn import WINDOW, dcn_sample_pallas
+from detectron2_centernet_tpu.ops.deform_conv import modulated_deform_conv
+from detectron2_centernet_tpu.ops.pallas_dcn import (
+    dcn_conv_pallas,
+    pallas_dcn_supported,
+)
 
 
-def test_pallas_dcn_matches_reference():
-    n, h, w, c = 1, 16, 128, 8
-    rng = np.random.RandomState(0)
-    x = rng.rand(n, h, w, c).astype(np.float32)
-    off = ((rng.rand(n, h, w, 18) * 2 - 1) * 3).astype(np.float32)
-    mask = rng.rand(n, h, w, 9).astype(np.float32)
-    out = np.asarray(
-        dcn_sample_pallas(jnp.asarray(x), jnp.asarray(off), jnp.asarray(mask))
+def _inputs(n=2, h=16, w=32, c=8, co=16, off_scale=3.5, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+    off = jnp.asarray((rng.rand(n, h, w, 18) * 2 - 1) * off_scale, jnp.float32)
+    mask = jnp.asarray(rng.rand(n, h, w, 9), jnp.float32)
+    wgt = jnp.asarray(rng.randn(3, 3, c, co) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(co), jnp.float32)
+    return x, off, mask, wgt, bias
+
+
+def test_matches_exact_within_vertical_window():
+    """Bit-level parity with the exact unbounded op while |dy| <= v_window
+    (horizontal offsets are always exact)."""
+    x, off, mask, wgt, bias = _inputs(off_scale=3.5)
+    got = dcn_conv_pallas(x, off, mask, wgt, bias, v_window=4, interpret=True)
+    ref = modulated_deform_conv(x, off, mask, wgt, bias, window=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_horizontal_exact_unbounded():
+    """Large horizontal offsets must still match the exact op."""
+    rng = np.random.RandomState(1)
+    x, off, mask, wgt, bias = _inputs(seed=1)
+    off = np.array(off)
+    off[..., 0::2] = (rng.rand(*off[..., 0::2].shape) * 2 - 1) * 2.0  # dy small
+    off[..., 1::2] = (rng.rand(*off[..., 1::2].shape) * 2 - 1) * 20.0  # dx huge
+    off = jnp.asarray(off)
+    got = dcn_conv_pallas(x, off, mask, wgt, bias, v_window=4, interpret=True)
+    ref = modulated_deform_conv(x, off, mask, wgt, bias, window=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_zero_offsets_equal_plain_conv_path():
+    """dy=dx=0, mask=1 reduces to an ordinary 3x3 conv (same as exact op)."""
+    x, _, _, wgt, bias = _inputs()
+    off = jnp.zeros(x.shape[:3] + (18,), jnp.float32)
+    mask = jnp.ones(x.shape[:3] + (9,), jnp.float32)
+    got = dcn_conv_pallas(x, off, mask, wgt, bias, v_window=4, interpret=True)
+    ref = modulated_deform_conv(x, off, mask, wgt, bias, window=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_drop_far_vertical_semantics():
+    """Vertical samples beyond the band contribute zero (documented
+    "drop-far" deviation from the clamping window path)."""
+    x, _, _, wgt, _ = _inputs()
+    off = np.zeros(x.shape[:3] + (18,), np.float32)
+    off[..., 0::2] = 100.0  # every vertical offset far outside the band
+    mask = jnp.ones(x.shape[:3] + (9,), jnp.float32)
+    got = dcn_conv_pallas(
+        x, jnp.asarray(off), mask, wgt, None, v_window=4, interpret=True
     )
+    np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-5)
 
-    offc = np.clip(off, -WINDOW, WINDOW)
-    expected = np.zeros((n, h, w, 9 * c), np.float32)
-    for r in range(h):
-        for p in range(w):
-            for k in range(9):
-                ky, kx = k // 3 - 1, k % 3 - 1
-                py = r + ky + offc[0, r, p, 2 * k]
-                px = p + kx + offc[0, r, p, 2 * k + 1]
-                y0, x0 = int(np.floor(py)), int(np.floor(px))
-                v = np.zeros(c, np.float32)
-                for a in (0, 1):
-                    for b in (0, 1):
-                        yy, xx = y0 + a, x0 + b
-                        wgt = max(0.0, 1 - abs(py - yy)) * max(0.0, 1 - abs(px - xx))
-                        if 0 <= yy < h and 0 <= xx < w and wgt > 0:
-                            v += wgt * x[0, yy, xx]
-                expected[0, r, p, k * c : (k + 1) * c] = v * mask[0, r, p, k]
-    np.testing.assert_allclose(out, expected, atol=2e-5)
+
+def test_supported_predicate():
+    assert pallas_dcn_supported((1, 16, 32, 8))
+    assert not pallas_dcn_supported((1, 8, 32, 8))  # H < band
+    assert not pallas_dcn_supported((1, 16, 32, 6))  # C % 8
+    assert not pallas_dcn_supported((1, 16, 32, 8), stride=2)
