@@ -1,22 +1,31 @@
-"""Benchmark: CenterNet DLA-34 ctdet 512x512 inference throughput per chip.
+"""Benchmark: CenterNet DLA-34 ctdet 512x512 throughput per chip.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N}
+Prints ONE final JSON line:
+    {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N,
+     "extra": {...}}
 
 Baseline: the "Objects as Points" paper's DLA-34 ctdet figure of ~52 FPS
 (Titan Xp, 512x512) — the only published end-to-end number for this model
 family (the fork publishes none; BASELINE.md).  The BASELINE.json north star
 asks for >=2x an A100's img/s/chip; an A100 runs this model at roughly
 2x the Titan Xp figure, so vs_baseline is reported against 104 img/s.
+
+Knobs (env vars, for perf sweeps):
+    BENCH_DCN_IMPL      auto|exact|window|pallas   (default auto)
+    BENCH_DCN_WINDOW    int, XLA window-path clamp (default 4 when impl=window)
+    BENCH_DCN_V_WINDOW  int, pallas vertical coverage (default 4)
+    BENCH_BATCH         int (default 16)
+    BENCH_TRAIN         1 -> also measure the jitted train step
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
-BASELINE_IMG_S = 104.0  # ~A100 img/s for ctdet DLA-34 512x512 (2x Titan Xp 52 FPS)
-BATCH = 16
+BASELINE_IMG_S = 104.0  # ~A100 img/s for ctdet DLA-34 512x512 (2x Titan Xp)
 WARMUP = 3
 ITERS = 30
 
@@ -28,31 +37,44 @@ def main() -> None:
     from detectron2_centernet_tpu.config import get_cfg
     from detectron2_centernet_tpu.models import build_model
 
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    impl = os.environ.get("BENCH_DCN_IMPL", "auto")
+
     cfg = get_cfg()
     cfg.MODEL.META_ARCHITECTURE = "CenterNet"
     cfg.MODEL.BACKBONE.NAME = "build_dla34_backbone"
     cfg.TPU.DTYPE = "bfloat16"
+    cfg.TPU.DCN_IMPL = impl
+    cfg.TPU.DCN_V_WINDOW = int(os.environ.get("BENCH_DCN_V_WINDOW", "4"))
+    cfg.TPU.DCN_WINDOW = int(
+        os.environ.get("BENCH_DCN_WINDOW", "4" if impl == "window" else "0")
+    )
     model = build_model(cfg)
     variables = model.init(jax.random.PRNGKey(0), (512, 512))
 
     predict = jax.jit(model.predict_fn)
     images = jnp.asarray(
-        np.random.RandomState(0).rand(BATCH, 512, 512, 3) * 255, jnp.float32
+        np.random.RandomState(0).rand(batch, 512, 512, 3) * 255, jnp.float32
     )
 
     for _ in range(WARMUP):
         out = predict(variables, images)
     # block_until_ready is not a reliable fence on every PJRT transport
     # (the axon relay acks before execution completes); a host fetch is.
-    float(np.asarray(out["scores"]).sum())
+    float(np.asarray(out["scores"]).astype(np.float32).sum())
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = predict(variables, images)
-    float(np.asarray(out["scores"]).sum())
+    float(np.asarray(out["scores"]).astype(np.float32).sum())
     dt = time.perf_counter() - t0
+    img_s = batch * ITERS / dt
 
-    img_s = BATCH * ITERS / dt
+    extra = {"batch": batch, "dcn_impl": impl}
+
+    if os.environ.get("BENCH_TRAIN"):
+        extra["train_img_s"] = _bench_train(cfg, model, batch)
+
     print(
         json.dumps(
             {
@@ -60,9 +82,57 @@ def main() -> None:
                 "value": round(img_s, 2),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_s / BASELINE_IMG_S, 3),
+                "extra": extra,
             }
         )
     )
+
+
+def _bench_train(cfg, model, batch) -> float:
+    """img/s of the full jitted SPMD train step (grads + optimizer + BN) on
+    synthetic data — BASELINE.md's train-throughput axis."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from detectron2_centernet_tpu.engine.train_state import (
+        create_train_state,
+        make_train_step,
+    )
+    from detectron2_centernet_tpu.parallel import replicate, shard_batch
+
+    cfg = cfg.clone()
+    cfg.INPUT.TRAIN_SIZE = (512, 512)
+    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    step = make_train_step(model, tx, mesh)
+    state = replicate(state, mesh)
+
+    rng = np.random.RandomState(0)
+    boxes = rng.rand(batch, 128, 4).astype(np.float32) * 400
+    boxes[..., 2:] = np.minimum(boxes[..., :2] + 1 + boxes[..., 2:] * 0.2, 511)
+    data = shard_batch(
+        {
+            "image": jnp.asarray(rng.rand(batch, 512, 512, 3) * 255, jnp.float32),
+            "gt_boxes": jnp.asarray(boxes),
+            "gt_classes": jnp.asarray(rng.randint(0, 80, (batch, 128)), jnp.int32),
+            "gt_valid": jnp.ones((batch, 128), bool),
+        },
+        mesh,
+    )
+    for _ in range(2):
+        state, metrics = step(state, data)
+    float(np.asarray(metrics["total_loss"]))
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, data)
+    float(np.asarray(metrics["total_loss"]))
+    dt = time.perf_counter() - t0
+    tr = batch * iters / dt
+    print(f"train step: {tr:.2f} img/s ({dt / iters * 1e3:.1f} ms/iter)",
+          file=sys.stderr)
+    return round(tr, 2)
 
 
 if __name__ == "__main__":

@@ -77,10 +77,20 @@ def _flatten_pytree(tree: Any, prefix: str = "") -> List[Tuple[str, np.ndarray]]
     return out
 
 
+_TOKEN_SYNONYMS = {
+    # flax param naming -> torch naming, so shape-ambiguous norm leaves
+    # (scale/bias/mean/var are all (C,)) resolve deterministically
+    "kernel": "weight",
+    "scale": "weight",
+    "running": "",
+}
+
+
 def _name_tokens(name: str) -> set:
     import re
 
-    return set(re.split(r"[./_\[\]]+", name.lower())) - {""}
+    raw = set(re.split(r"[./_\[\]]+", name.lower())) - {""}
+    return {_TOKEN_SYNONYMS.get(t, t) for t in raw} - {""}
 
 
 def align_state_dicts(

@@ -398,6 +398,14 @@ def _tpu_defaults() -> CN:
     # |offset| <= W, but an accuracy-affecting approximation for imported
     # reference weights whose offsets may exceed the window.
     t.DCN_WINDOW = 0
+    # Deformable-conv implementation: "auto" uses the Pallas tent-matmul
+    # kernel (ops/pallas_dcn.py) for inference forward when supported and
+    # the exact XLA path otherwise/for training; "exact" / "window" force
+    # the XLA paths; "pallas" forces the kernel.
+    t.DCN_IMPL = "auto"
+    # Pallas kernel vertical offset coverage (|dy| <= V exact, farther
+    # samples drop to zero; horizontal offsets are always exact).
+    t.DCN_V_WINDOW = 4
     return t
 
 

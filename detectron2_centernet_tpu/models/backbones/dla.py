@@ -199,6 +199,8 @@ class IDAUp(nn.Module):
     features: int
     up_factors: Sequence[int]  # factor per processed level (index 1..)
     dcn_window: int = 0
+    dcn_impl: str = "auto"
+    dcn_v_window: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -207,11 +209,13 @@ class IDAUp(nn.Module):
         for i in range(startp + 1, endp):
             j = i - startp
             p = DeformConvV2R(
-                self.features, window=self.dcn_window, dtype=self.dtype, name=f"proj_{j}"
+                self.features, window=self.dcn_window, impl=self.dcn_impl,
+                v_window=self.dcn_v_window, dtype=self.dtype, name=f"proj_{j}"
             )(layers[i], train)
             up = BilinearUpsample(int(self.up_factors[j]), dtype=self.dtype, name=f"up_{j}")(p)
             layers[i] = DeformConvV2R(
-                self.features, window=self.dcn_window, dtype=self.dtype, name=f"node_{j}"
+                self.features, window=self.dcn_window, impl=self.dcn_impl,
+                v_window=self.dcn_v_window, dtype=self.dtype, name=f"node_{j}"
             )(up + layers[i - 1], train)
         return layers
 
@@ -223,6 +227,8 @@ class DLAUp(nn.Module):
     channels: Sequence[int]
     scales: Sequence[int]
     dcn_window: int = 0
+    dcn_impl: str = "auto"
+    dcn_v_window: int = 4
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -239,6 +245,8 @@ class DLAUp(nn.Module):
                     channels[j],
                     [s // scales[j] for s in scales[j:]],
                     dcn_window=self.dcn_window,
+                    dcn_impl=self.dcn_impl,
+                    dcn_v_window=self.dcn_v_window,
                     dtype=self.dtype,
                     name=f"ida_{i}",
                 )
@@ -270,6 +278,8 @@ class DLA34(nn.Module):
     down_ratio: int = 4
     last_level: int = 5
     dcn_window: int = 0
+    dcn_impl: str = "auto"
+    dcn_v_window: int = 4
     dtype: Any = jnp.float32
 
     @property
@@ -287,6 +297,7 @@ class DLA34(nn.Module):
         scales = [2 ** i for i in range(len(self.channels) - fl)]
         pyramid = DLAUp(
             fl, self.channels[fl:], scales, dcn_window=self.dcn_window,
+            dcn_impl=self.dcn_impl, dcn_v_window=self.dcn_v_window,
             dtype=self.dtype, name="dla_up",
         )(feats[fl:], train)
         y = list(pyramid[: self.last_level - fl])
@@ -310,5 +321,7 @@ def build_dla34_backbone(cfg: CfgNode, dtype: Any = jnp.float32) -> DLA34:
         down_ratio=c.DOWN_RATIO,
         last_level=c.LAST_LEVEL,
         dcn_window=int(cfg.TPU.DCN_WINDOW),
+        dcn_impl=str(cfg.TPU.DCN_IMPL),
+        dcn_v_window=int(cfg.TPU.DCN_V_WINDOW),
         dtype=dtype,
     )

@@ -48,11 +48,14 @@ class FPN(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
         feats = self.bottom_up(x, train)
         ins = [feats[f] for f in self.in_features]
+        # stage-numbered param names (fpn_lateral3..5) matching the
+        # reference's module names so weight import aligns deterministically
+        levels = [int(f[-1]) for f in self.in_features]
 
         # top-down: lateral 1x1 + nearest-up + 3x3 output conv
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name=f"fpn_lateral{i}")(t)
-            for i, t in zip(range(len(ins)), ins)
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name=f"fpn_lateral{l}")(t)
+            for l, t in zip(levels, ins)
         ]
         results = [None] * len(ins)
         prev = laterals[-1]
@@ -66,9 +69,9 @@ class FPN(nn.Module):
         outs = [
             nn.Conv(
                 self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
-                name=f"fpn_output{i}",
+                name=f"fpn_output{l}",
             )(r)
-            for i, r in enumerate(results)
+            for l, r in zip(levels, results)
         ]
 
         names = self.out_feature_names()
@@ -80,11 +83,11 @@ class FPN(nn.Module):
         elif self.top_block == "p6p7":
             top_in = feats[self.top_block_in_feature] if self.top_block_in_feature in feats else outs[-1]
             p6 = nn.Conv(
-                self.out_channels, (3, 3), strides=2, padding="SAME",
+                self.out_channels, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
                 dtype=self.dtype, name="top_block_p6",
             )(top_in)
             p7 = nn.Conv(
-                self.out_channels, (3, 3), strides=2, padding="SAME",
+                self.out_channels, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
                 dtype=self.dtype, name="top_block_p7",
             )(nn.relu(p6))
             pyramid[names[len(outs)]] = p6

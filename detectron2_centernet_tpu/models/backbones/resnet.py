@@ -86,7 +86,8 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         cin = x.shape[-1]
         out = nn.Conv(
-            self.out_channels, (3, 3), strides=self.stride, padding="SAME",
+            self.out_channels, (3, 3), strides=self.stride,
+            padding=[(1, 1), (1, 1)],  # torch-symmetric (SAME differs at s2)
             use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
         out = _Norm(self.norm, self.out_channels, self.dtype, name="conv1_norm")(out, train)
@@ -131,7 +132,8 @@ class BottleneckBlock(nn.Module):
         out = _Norm(self.norm, self.bottleneck_channels, self.dtype, name="conv1_norm")(out, train)
         out = nn.relu(out)
         out = nn.Conv(
-            self.bottleneck_channels, (3, 3), strides=s3, padding="SAME",
+            self.bottleneck_channels, (3, 3), strides=s3,
+            padding=[(self.dilation, self.dilation)] * 2,  # torch-symmetric
             kernel_dilation=self.dilation, feature_group_count=self.num_groups,
             use_bias=False, dtype=self.dtype, name="conv2",
         )(out)
@@ -177,7 +179,7 @@ class DeformBottleneckBlock(nn.Module):
         # offset/mask predictor (at output resolution) + deformable 3x3
         assert s3 in (1, 2)
         nch = 27 if self.deform_modulated else 18
-        om = nn.Conv(nch, (3, 3), strides=s3, padding="SAME",
+        om = nn.Conv(nch, (3, 3), strides=s3, padding=[(1, 1), (1, 1)],
                      kernel_init=nn.initializers.zeros, dtype=jnp.float32,
                      name="conv2_offset")(out.astype(jnp.float32))
         if self.deform_modulated:

@@ -39,7 +39,8 @@ class ConvNormAct(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(
             self.features, (self.kernel, self.kernel), strides=self.stride,
-            padding="SAME", feature_group_count=self.groups, use_bias=False,
+            padding=[((self.kernel - 1) // 2, (self.kernel - 1) // 2)] * 2,
+            feature_group_count=self.groups, use_bias=False,
             dtype=self.dtype, name="conv",
         )(x)
         x = nn.BatchNorm(

@@ -21,6 +21,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.deform_conv import modulated_deform_conv
+from ..ops.pallas_dcn import dcn_conv_pallas, pallas_dcn_supported
 
 BN_MOMENTUM = 0.9  # = 1 - torch_momentum(0.1), reference dla.py:27
 BN_EPS = 1e-5
@@ -38,12 +39,18 @@ class ConvBnAct(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # explicit symmetric padding: torch's Conv2d(padding=(k-1)//2*d).
+        # flax SAME pads asymmetrically under stride 2 — different pixels.
+        pads = tuple(
+            (self.dilation * (k - 1) // 2, self.dilation * (k - 1) // 2)
+            for k in self.kernel_size
+        )
         x = nn.Conv(
             self.features,
             self.kernel_size,
             strides=self.strides,
             kernel_dilation=self.dilation,
-            padding="SAME",
+            padding=pads,
             use_bias=False,
             dtype=self.dtype,
             name="conv",
@@ -80,6 +87,8 @@ class DeformConvV2(nn.Module):
 
     features: int
     window: int = 0  # offset clamp for the blocked fast path (0 = exact)
+    impl: str = "auto"  # "auto" | "exact" | "window" | "pallas"
+    v_window: int = 4  # pallas vertical offset coverage
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -114,9 +123,26 @@ class DeformConvV2(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        y = modulated_deform_conv(
-            x, offset, mask, kernel.astype(self.dtype), bias, window=self.window
-        )
+        use_pallas = (
+            self.impl == "pallas"
+            or (
+                self.impl == "auto"
+                and not train
+                and jax.default_backend() == "tpu"
+            )
+        ) and pallas_dcn_supported(x.shape, v_window=self.v_window)
+        if use_pallas:
+            # forward-only MXU kernel; training takes the differentiable
+            # XLA path below (see ops/pallas_dcn.py semantics note)
+            y = dcn_conv_pallas(
+                x, offset, mask, kernel.astype(self.dtype), bias,
+                v_window=self.v_window,
+            )
+        else:
+            y = modulated_deform_conv(
+                x, offset, mask, kernel.astype(self.dtype), bias,
+                window=self.window,
+            )
         y = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,

@@ -1,0 +1,270 @@
+"""Module-level golden parity: reference torch modules vs our flax modules.
+
+Each test constructs the reference's OWN torch module (imported from
+/root/reference via the conftest stubs), fills it with deterministic
+weights, transfers them to our flax module through
+``checkpoint.torch_import`` (exercising the aligner on structured state
+dicts), and asserts forward-output equality — the module-level substitute
+for end-to-end mAP parity while no trained checkpoints are mounted.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from detectron2_centernet_tpu.checkpoint.torch_import import (
+    align_state_dicts,
+    _flatten_pytree,
+)
+
+from .conftest import from_nhwc, seed_torch_module, to_nhwc
+
+ATOL = 2e-4
+
+
+def _transfer(torch_module, variables):
+    """torch state_dict -> flax variables via the production aligner."""
+    torch_sd = {
+        k: v.detach().numpy() for k, v in torch_module.state_dict().items()
+    }
+    leaves = _flatten_pytree(variables)
+    aligned = align_state_dicts(torch_sd, leaves)
+    assert len(aligned) == len(leaves), "aligner left flax leaves unmatched"
+    flat, treedef = jax.tree_util.tree_flatten_with_path(variables)
+    new = []
+    for path, leaf in flat:
+        name = "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+        new.append(jnp.asarray(aligned[name]))
+    return jax.tree_util.tree_unflatten(treedef, new)
+
+
+def test_resnet_stem_parity(ref):
+    """BasicStem: 7x7 s2 conv + FrozenBN + relu + 3x3 s2 maxpool
+    (/root/reference/detectron2/modeling/backbone/resnet.py:331-362)."""
+    torch = ref.torch
+    from detectron2_centernet_tpu.models.backbones.resnet import BasicStem
+
+    t = ref.resnet.BasicStem(in_channels=3, out_channels=16, norm="FrozenBN")
+    seed_torch_module(t)
+    t.eval()
+    x = torch.randn(2, 3, 33, 47, generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        y_ref = t(x)
+
+    m = BasicStem(out_channels=16, norm="FrozenBN")
+    xj = jnp.asarray(to_nhwc(x))
+    variables = m.init(jax.random.PRNGKey(0), xj)
+    variables = _transfer(t, variables)
+    y = m.apply(variables, xj)
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(y_ref), atol=ATOL)
+
+
+def test_resnet_bottleneck_stage_parity(ref):
+    """A res2-style stage (3 BottleneckBlocks, first with projection
+    shortcut) followed by a stride-2 block — the shape of every ResNet-50
+    stage (resnet.py:101-213). Covers the stride-2 3x3 padding semantics."""
+    torch = ref.torch
+    from detectron2_centernet_tpu.models.backbones.resnet import BottleneckBlock
+
+    blocks = [
+        ref.resnet.BottleneckBlock(
+            in_channels=16 if i == 0 else 32,
+            out_channels=32,
+            bottleneck_channels=8,
+            stride=1,
+            norm="FrozenBN",
+        )
+        for i in range(3)
+    ] + [
+        ref.resnet.BottleneckBlock(
+            in_channels=32,
+            out_channels=64,
+            bottleneck_channels=16,
+            stride=2,
+            stride_in_1x1=True,
+            norm="FrozenBN",
+        )
+    ]
+    t = torch.nn.Sequential(*blocks)
+    seed_torch_module(t)
+    t.eval()
+    x = torch.randn(2, 16, 32, 32, generator=torch.Generator().manual_seed(2))
+    with torch.no_grad():
+        y_ref = t(x)
+
+    from flax import linen as nn
+
+    class FlaxStage(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            for i in range(3):
+                x = BottleneckBlock(
+                    out_channels=32, bottleneck_channels=8, norm="FrozenBN",
+                    name=f"block{i}",
+                )(x, train)
+            return BottleneckBlock(
+                out_channels=64, bottleneck_channels=16, stride=2,
+                stride_in_1x1=True, norm="FrozenBN", name="block3",
+            )(x, train)
+
+    m = FlaxStage()
+    xj = jnp.asarray(to_nhwc(x))
+    variables = m.init(jax.random.PRNGKey(0), xj)
+    variables = _transfer(t, variables)
+    y = m.apply(variables, xj)
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(y_ref), atol=ATOL)
+
+
+def test_bottleneck_stride_not_in_1x1_parity(ref):
+    """stride_in_1x1=False (torchvision convention): the stride-2 3x3 conv
+    must use torch's symmetric padding (resnet.py:140-168)."""
+    torch = ref.torch
+    from detectron2_centernet_tpu.models.backbones.resnet import BottleneckBlock
+
+    t = ref.resnet.BottleneckBlock(
+        in_channels=16, out_channels=32, bottleneck_channels=8,
+        stride=2, stride_in_1x1=False, norm="FrozenBN",
+    )
+    seed_torch_module(t)
+    t.eval()
+    x = torch.randn(1, 16, 30, 26, generator=torch.Generator().manual_seed(3))
+    with torch.no_grad():
+        y_ref = t(x)
+
+    m = BottleneckBlock(
+        out_channels=32, bottleneck_channels=8, stride=2,
+        stride_in_1x1=False, norm="FrozenBN",
+    )
+    xj = jnp.asarray(to_nhwc(x))
+    variables = m.init(jax.random.PRNGKey(0), xj)
+    variables = _transfer(t, variables)
+    y = m.apply(variables, xj)
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(y_ref), atol=ATOL)
+
+
+def test_fpn_parity(ref):
+    """FPN lateral+output convs with LastLevelMaxPool over a 3-level
+    pyramid (fpn.py:17-184)."""
+    torch = ref.torch
+    from detectron2_centernet_tpu.models.backbones.fpn import FPN
+
+    class FakeBackbone(ref.fpn.Backbone):
+        def __init__(self):
+            super().__init__()
+            self._out_features = ["res3", "res4", "res5"]
+
+        def output_shape(self):
+            SS = ref.layers.ShapeSpec
+            return {
+                "res3": SS(channels=8, stride=8),
+                "res4": SS(channels=16, stride=16),
+                "res5": SS(channels=32, stride=32),
+            }
+
+        def forward(self, feats):
+            return feats
+
+    t = ref.fpn.FPN(
+        bottom_up=FakeBackbone(),
+        in_features=["res3", "res4", "res5"],
+        out_channels=16,
+        norm="",
+        top_block=ref.fpn.LastLevelMaxPool(),
+    )
+    seed_torch_module(t)
+    t.eval()
+    g = torch.Generator().manual_seed(4)
+    feats = {
+        "res3": torch.randn(1, 8, 16, 16, generator=g),
+        "res4": torch.randn(1, 16, 8, 8, generator=g),
+        "res5": torch.randn(1, 32, 4, 4, generator=g),
+    }
+    with torch.no_grad():
+        y_ref = t(feats)
+
+    from flax import linen as nn
+
+    from detectron2_centernet_tpu.models.backbones import fpn as our_fpn
+
+    class IdentityBackbone(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return x  # precomputed feature dict passes straight through
+
+    m = our_fpn.FPN(
+        bottom_up=IdentityBackbone(),
+        in_features=("res3", "res4", "res5"),
+        out_channels=16,
+        top_block="maxpool",
+    )
+    feats_j = {k: jnp.asarray(to_nhwc(v)) for k, v in feats.items()}
+    variables = m.init(jax.random.PRNGKey(0), feats_j)
+    variables = _transfer(t, variables)
+    y = m.apply(variables, feats_j)
+    for lvl in ("p3", "p4", "p5", "p6"):
+        np.testing.assert_allclose(
+            np.asarray(y[lvl]), to_nhwc(y_ref[lvl]), atol=ATOL, err_msg=lvl
+        )
+
+
+def test_box2box_transform_parity(ref):
+    """Box2BoxTransform get_deltas/apply_deltas
+    (box_regression.py:16-111)."""
+    torch = ref.torch
+    from detectron2_centernet_tpu.models.box_regression import Box2BoxTransform
+
+    rng = np.random.RandomState(5)
+    src = rng.rand(40, 4).astype(np.float32) * 50
+    src[:, 2:] = src[:, :2] + 1 + rng.rand(40, 2).astype(np.float32) * 40
+    tgt = rng.rand(40, 4).astype(np.float32) * 50
+    tgt[:, 2:] = tgt[:, :2] + 1 + rng.rand(40, 2).astype(np.float32) * 40
+    weights = (10.0, 10.0, 5.0, 5.0)
+
+    t = ref.box_regression.Box2BoxTransform(weights=weights)
+    deltas_ref = t.get_deltas(torch.from_numpy(src), torch.from_numpy(tgt))
+    applied_ref = t.apply_deltas(deltas_ref, torch.from_numpy(src))
+
+    ours = Box2BoxTransform(weights)
+    deltas = ours.get_deltas(jnp.asarray(src), jnp.asarray(tgt))
+    applied = ours.apply_deltas(jnp.asarray(np.asarray(deltas)), jnp.asarray(src))
+    np.testing.assert_allclose(np.asarray(deltas), deltas_ref.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(applied), applied_ref.numpy(), atol=1e-3)
+
+
+def test_matcher_parity(ref):
+    """Matcher threshold assignment incl. allow_low_quality_matches
+    (matcher.py:8-127)."""
+    torch = ref.torch
+    from detectron2_centernet_tpu.models.matcher import Matcher
+
+    rng = np.random.RandomState(6)
+    iou = rng.rand(7, 64).astype(np.float32)
+    t = ref.matcher.Matcher([0.3, 0.7], [0, -1, 1], allow_low_quality_matches=True)
+    midx_ref, mlab_ref = t(torch.from_numpy(iou))
+
+    ours = Matcher((0.3, 0.7), (0, -1, 1), allow_low_quality_matches=True)
+    midx, mlab = ours(jnp.asarray(iou), jnp.ones((7,), bool))
+    np.testing.assert_array_equal(np.asarray(midx), midx_ref.numpy())
+    np.testing.assert_array_equal(np.asarray(mlab), mlab_ref.numpy())
+
+
+def test_frozen_bn_parity(ref):
+    """FrozenBatchNorm2d affine math (layers/batch_norm.py:14-126)."""
+    torch = ref.torch
+    from detectron2_centernet_tpu.models.layers import FrozenBatchNorm
+
+    t = ref.layers.FrozenBatchNorm2d(12)
+    seed_torch_module(t, seed=7)
+    t.eval()
+    x = torch.randn(2, 12, 9, 11, generator=torch.Generator().manual_seed(8))
+    with torch.no_grad():
+        y_ref = t(x)
+
+    m = FrozenBatchNorm(features=12)
+    xj = jnp.asarray(to_nhwc(x))
+    variables = m.init(jax.random.PRNGKey(0), xj)
+    variables = _transfer(t, variables)
+    y = m.apply(variables, xj)
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(y_ref), atol=1e-5)
