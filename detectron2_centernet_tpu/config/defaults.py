@@ -101,6 +101,9 @@ def _roi_heads_defaults() -> CN:
     r.SCORE_THRESH_TEST = 0.05
     r.NMS_THRESH_TEST = 0.5
     r.PROPOSAL_APPEND_GT = True
+    # pluggable per-roi heads registered in ROI_HEAD_EXTENSION_REGISTRY
+    # (models/roi_heads/extension.py); projects append their extension name
+    r.EXTENSIONS = []
     return r
 
 

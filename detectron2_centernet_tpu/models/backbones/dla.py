@@ -305,6 +305,8 @@ class DLA34(nn.Module):
             self.out_channels,
             [2 ** i for i in range(self.last_level - fl)],
             dcn_window=self.dcn_window,
+            dcn_impl=self.dcn_impl,
+            dcn_v_window=self.dcn_v_window,
             dtype=self.dtype,
             name="ida_up",
         )(y, 0, len(y), train)

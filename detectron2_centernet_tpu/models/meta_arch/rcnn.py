@@ -30,6 +30,7 @@ from ...structures import Boxes, Instances
 from ..anchors import build_anchor_generator
 from ..box_regression import Box2BoxTransform
 from ..matcher import Matcher
+from ..roi_heads.extension import ROIContext, build_roi_head_extensions
 
 logger = logging.getLogger(__name__)
 from ..proposal_generator.rpn import (
@@ -98,6 +99,9 @@ class RCNNNetwork(nn.Module):
     # CascadeROIHeads (reference cascade_rcnn.py:32): one head+predictor per
     # stage, class-agnostic box regression
     cascade_stages: int = 3
+    # pluggable per-roi heads (roi_heads/extension.py); projects register
+    # extensions without editing this file
+    extensions: Tuple[Any, ...] = ()
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -151,6 +155,9 @@ class RCNNNetwork(nn.Module):
                 1, fc_dim=self.point_fc_dim, num_fc=self.point_num_fc,
                 dtype=self.dtype,
             )
+        self.ext_modules = {
+            ext.name: ext.build_module(self.dtype) for ext in self.extensions
+        }
 
     def backbone_rpn(self, images, train: bool = False):
         feats = self.backbone(images, train)
@@ -185,6 +192,10 @@ class RCNNNetwork(nn.Module):
         """fine (..., P, Cf) + coarse logits (..., P, 1) -> (..., P, 1)."""
         return self.point_head(fine, coarse)
 
+    def ext_predict(self, name, *args, train: bool = False):
+        """Invoke a registered extension head module by name."""
+        return self.ext_modules[name](*args, train=train)
+
     def __call__(self, images, train: bool = False):
         # init path: trace every submodule once
         feats, logits, deltas = self.backbone_rpn(images, train)
@@ -207,6 +218,12 @@ class RCNNNetwork(nn.Module):
             self.point_predict(
                 jnp.zeros((1, 4, c), f0.dtype), jnp.zeros((1, 4, 1), jnp.float32)
             )
+        for ext in self.extensions:
+            dummy_args = [
+                jnp.zeros(shape, dt or f0.dtype)
+                for shape, dt in ext.init_shapes(c)
+            ]
+            self.ext_predict(ext.name, *dummy_args, train=train)
         return logits
 
 
@@ -214,6 +231,7 @@ class RCNNNetwork(nn.Module):
 class GeneralizedRCNN:
     def __init__(self, cfg: CfgNode) -> None:
         self.num_classes = int(cfg.MODEL.ROI_HEADS.NUM_CLASSES)
+        self.extensions = build_roi_head_extensions(cfg)
         self.pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
         self.pixel_std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
         dtype = jnp.bfloat16 if cfg.TPU.DTYPE == "bfloat16" else jnp.float32
@@ -331,6 +349,7 @@ class GeneralizedRCNN:
             point_rend_on=self.point_rend_on,
             point_fc_dim=int(ph.FC_DIM),
             point_num_fc=int(ph.NUM_FC),
+            extensions=tuple(self.extensions),
             dtype=dtype,
         )
 
@@ -583,6 +602,24 @@ class GeneralizedRCNN:
                 keypoint_rcnn_loss(kp_logits, kp_idx, kp_valid, fg_kp)
                 * self.keypoint_loss_weight
             )
+        for ext in self.extensions:
+            ctx = ROIContext(
+                feats=feats,
+                pool=lambda bx, bi, res=None: self._pool(feats, bx, bi, res),
+                apply=lambda name, *a, train=True: self.module.apply(
+                    variables, name, *a, train=train,
+                    method=RCNNNetwork.ext_predict,
+                ),
+                n=n,
+                num_classes=self.num_classes,
+                image_hw=(h, w),
+                rng=jax.random.fold_in(rng, 17),
+                batch=batch,
+                sampled=sampled,
+                flat_sampled=flat_sampled,
+            )
+            losses.update(ext.loss(ctx))
+
         total = sum(losses.values())
         new_stats = mutated.get("batch_stats", batch_stats)
         return total, (losses, new_stats)
@@ -678,6 +715,20 @@ class GeneralizedRCNN:
             dets["keypoint_heatmaps"] = kp_logits.reshape(
                 n, k, hm, hm, self.num_keypoints
             )
+        for ext in self.extensions:
+            ctx = ROIContext(
+                feats=feats,
+                pool=lambda bx, bi, res=None: self._pool(feats, bx, bi, res),
+                apply=lambda name, *a, train=False: self.module.apply(
+                    variables, name, *a, train=train,
+                    method=RCNNNetwork.ext_predict,
+                ),
+                n=n,
+                num_classes=self.num_classes,
+                image_hw=(h, w),
+                dets=dets,
+            )
+            dets.update(ext.inference(ctx))
         return dets
 
     # -- host boundary --------------------------------------------------------

@@ -138,7 +138,12 @@ def _kernel(
 
 
 def pallas_dcn_supported(
-    shape, kernel_size=(3, 3), stride=1, dilation=1, v_window=V_WINDOW_DEFAULT
+    shape,
+    kernel_size=(3, 3),
+    stride=1,
+    dilation=1,
+    v_window=V_WINDOW_DEFAULT,
+    interpret=False,
 ) -> bool:
     n, h, w, cin = shape
     return (
@@ -147,6 +152,9 @@ def pallas_dcn_supported(
         and dilation == 1
         and cin % 8 == 0
         and h >= 2
+        # Mosaic requires the innermost (lane) dim 128-tiled; smaller maps
+        # (64^2 and below in DLA-34 at 512^2) take the exact XLA path
+        and (interpret or w % 128 == 0)
     )
 
 
@@ -163,7 +171,9 @@ def dcn_conv_pallas(
     """Full modulated-deform-conv forward (SAME padding, stride 1)."""
     n, h, w, cin = x.shape
     cout = weight.shape[-1]
-    assert pallas_dcn_supported(x.shape, v_window=v_window), (x.shape, v_window)
+    assert pallas_dcn_supported(
+        x.shape, v_window=v_window, interpret=interpret
+    ), (x.shape, v_window)
     assert offset.shape == (n, h, w, 18) and mask.shape == (n, h, w, 9)
     r_blk = _pick_r_blk(h)
     band_tot = min(h, r_blk + 2 * v_window + 3)

@@ -73,7 +73,8 @@ def test_drop_far_vertical_semantics():
 
 
 def test_supported_predicate():
-    assert pallas_dcn_supported((1, 16, 32, 8))
+    assert pallas_dcn_supported((1, 16, 32, 8), interpret=True)
+    assert not pallas_dcn_supported((1, 16, 32, 8))  # W % 128 (Mosaic lanes)
     assert pallas_dcn_supported((1, 128, 128, 64))  # production hot shape
     assert not pallas_dcn_supported((1, 16, 32, 6))  # C % 8
     assert not pallas_dcn_supported((1, 16, 32, 8), stride=2)
