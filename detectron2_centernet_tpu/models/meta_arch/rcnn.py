@@ -764,6 +764,14 @@ class GeneralizedRCNN:
                 inst.pred_keypoints = heatmaps_to_keypoints(
                     hm, np.asarray(bx.tensor)
                 )[:, :, [0, 1, 3]]  # x, y, score
+            # extension outputs (any extra (N, K, ...) field) pass through
+            known = {"boxes", "scores", "classes", "masks", "keypoint_heatmaps"}
+            for key, val in dets.items():
+                if key in known:
+                    continue
+                arr = np.asarray(val[i])
+                if arr.shape[:1] == keep.shape:
+                    inst.set(key, arr[keep])
             results.append({"instances": inst})
         return results
 

@@ -1,0 +1,34 @@
+"""DensePose for the TPU-native framework.
+
+Counterpart of the reference's largest project
+(``/root/reference/projects/DensePose/densepose/``): dense human surface
+estimation as an extra per-ROI head on GeneralizedRCNN — the "chart" model:
+coarse fg/bg segmentation + 24 fine body-part charts with per-chart (U, V)
+surface coordinates.
+
+Registered through the framework's ``ROI_HEAD_EXTENSION_REGISTRY``
+(models/roi_heads/extension.py), so enabling it is pure config:
+
+    from densepose_tpu import add_densepose_config
+    cfg = get_cfg(); add_densepose_config(cfg)
+    cfg.MODEL.ROI_HEADS.EXTENSIONS = ["DensePoseExtension"]
+"""
+
+from .config import add_densepose_config
+from .data import DensePoseDatasetMapper, load_densepose_coco_json
+from .evaluator import DensePoseEvaluator
+from .modeling import (
+    DensePoseChartPredictor,
+    DensePoseExtension,
+    DensePoseHead,
+)
+
+__all__ = [
+    "add_densepose_config",
+    "DensePoseChartPredictor",
+    "DensePoseDatasetMapper",
+    "DensePoseEvaluator",
+    "DensePoseExtension",
+    "DensePoseHead",
+    "load_densepose_coco_json",
+]

@@ -1,0 +1,135 @@
+"""DensePose-COCO data loading + fixed-shape mapper.
+
+Reference: ``densepose/data/datasets/coco.py`` (dp_* annotation keys),
+``densepose/data/dataset_mapper.py`` and ``densepose/data/structures.py``
+(DensePoseDataRelative: per-instance dp points in 256-normalized gt-box
+coordinates, dp_masks as 14-part run-length rasters).
+
+TPU redesign: each instance's ragged point list is packed into
+``(MAX_DP_POINTS,)`` arrays with a validity mask, and the coarse
+segmentation raster becomes a fixed ``(SEGM_RASTER, SEGM_RASTER)`` fg/bg
+byte mask in gt-box coordinates (consumed by ``crop_gt_masks`` in the
+loss).  Known deviation: mirrored augmentation drops dense annotations on
+the flipped samples instead of applying the SMPL left/right symmetry
+tables (the symmetry .mat is external data the reference downloads).
+"""
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from detectron2_centernet_tpu.data import DatasetCatalog, MetadataCatalog
+from detectron2_centernet_tpu.data.dataset_mapper import DatasetMapper
+from detectron2_centernet_tpu.data.datasets.coco import load_coco_json
+from detectron2_centernet_tpu.structures.rle import rle_to_mask
+
+DENSEPOSE_KEYS = ["dp_x", "dp_y", "dp_I", "dp_U", "dp_V", "dp_masks"]
+
+
+def load_densepose_coco_json(json_file: str, image_root: str, dataset_name=None):
+    """COCO json with dp_* per-annotation keys preserved."""
+    return load_coco_json(
+        json_file, image_root, dataset_name, extra_annotation_keys=DENSEPOSE_KEYS
+    )
+
+
+def register_densepose_coco(name: str, json_file: str, image_root: str) -> None:
+    DatasetCatalog.register(
+        name, lambda: load_densepose_coco_json(json_file, image_root, name)
+    )
+    MetadataCatalog.get(name).set(
+        json_file=json_file,
+        image_root=image_root,
+        evaluator_type="densepose",
+        thing_classes=["person"],
+    )
+
+
+def _dp_mask_to_fg(dp_masks, raster: int) -> np.ndarray:
+    """14 per-part RLEs (256x256 gt-box frame) -> (raster, raster) fg mask."""
+    fg = np.zeros((256, 256), bool)
+    for part in dp_masks or []:
+        if not part:
+            continue
+        fg |= rle_to_mask(part)
+    if raster == 256:
+        return fg.astype(np.uint8)
+    step = 256 // raster
+    return (
+        fg[: raster * step, : raster * step]
+        .reshape(raster, step, raster, step)
+        .max(axis=(1, 3))
+        .astype(np.uint8)
+    )
+
+
+class DensePoseDatasetMapper(DatasetMapper):
+    """DatasetMapper + fixed-shape dense-pose targets."""
+
+    def __init__(self, cfg, is_train: bool = True) -> None:
+        super().__init__(cfg, is_train)
+        c = cfg.MODEL.ROI_DENSEPOSE_HEAD
+        self.dp_points = int(c.MAX_DP_POINTS)
+        self.dp_raster = int(c.SEGM_RASTER)
+
+    def __call__(self, dataset_dict: dict, rng=None) -> Dict[str, np.ndarray]:
+        annos = [
+            a for a in dataset_dict.get("annotations", [])
+            if a.get("iscrowd", 0) == 0
+        ]
+        out = super().__call__(dataset_dict, rng)
+        if not self.is_train:
+            return out
+
+        m = out["warp"]
+        mirrored = m[0, 0] < 0
+        p, cap = self.dp_points, self.max_objs
+        dp_x = np.zeros((cap, p), np.float32)
+        dp_y = np.zeros((cap, p), np.float32)
+        dp_i = np.zeros((cap, p), np.int32)
+        dp_u = np.zeros((cap, p), np.float32)
+        dp_v = np.zeros((cap, p), np.float32)
+        dp_valid = np.zeros((cap, p), np.float32)
+        dp_segm = np.zeros((cap, self.dp_raster, self.dp_raster), np.uint8)
+
+        # the parent mapper filtered/capped annos the same way: re-derive the
+        # kept order (boxes through the warp, nonempty)
+        from detectron2_centernet_tpu.data import detection_utils as utils
+
+        boxes, _ = utils.annotations_to_boxes(annos)
+        boxes = utils.apply_affine_to_boxes(m, boxes)
+        hcap = out["image"].shape[0] - 1
+        wcap = out["image"].shape[1] - 1
+        if len(boxes):
+            np.clip(boxes[:, 0::2], 0, wcap, out=boxes[:, 0::2])
+            np.clip(boxes[:, 1::2], 0, hcap, out=boxes[:, 1::2])
+        keep = (boxes[:, 2] - boxes[:, 0] > 1e-5) & (boxes[:, 3] - boxes[:, 1] > 1e-5)
+        kept = [a for a, k in zip(annos, keep) if k][:cap]
+
+        for i, a in enumerate(kept):
+            if "dp_x" not in a or a.get("dp_x") is None:
+                continue
+            if mirrored:
+                # deviation: SMPL l/r symmetry tables are external data; a
+                # mirrored sample simply drops its dense supervision
+                continue
+            xs = np.asarray(a["dp_x"], np.float32)[:p]
+            n_pts = len(xs)
+            if n_pts == 0:
+                continue
+            dp_x[i, :n_pts] = xs
+            dp_y[i, :n_pts] = np.asarray(a["dp_y"], np.float32)[:p]
+            dp_i[i, :n_pts] = np.clip(
+                np.asarray(a["dp_I"], np.float32)[:p].astype(np.int32), 0, 24
+            )
+            dp_u[i, :n_pts] = np.clip(np.asarray(a["dp_U"], np.float32)[:p], 0, 1)
+            dp_v[i, :n_pts] = np.clip(np.asarray(a["dp_V"], np.float32)[:p], 0, 1)
+            dp_valid[i, :n_pts] = 1.0
+            if a.get("dp_masks") is not None:
+                dp_segm[i] = _dp_mask_to_fg(a["dp_masks"], self.dp_raster)
+
+        out.update(
+            gt_dp_x=dp_x, gt_dp_y=dp_y, gt_dp_I=dp_i, gt_dp_U=dp_u,
+            gt_dp_V=dp_v, gt_dp_valid=dp_valid, gt_dp_segm=dp_segm,
+        )
+        return out

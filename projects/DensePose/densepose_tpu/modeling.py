@@ -1,0 +1,285 @@
+"""DensePose chart model: head, predictor, losses, ROI extension.
+
+Reference: ``/root/reference/projects/DensePose/densepose/modeling/``
+(``roi_heads/v1convx.py:15`` head, ``predictors/chart.py:12`` predictor,
+``losses/densepose_losses.py:515-729`` chart losses,
+``roi_heads/roi_head.py:85`` DensePoseROIHeads).
+
+TPU redesign: the ragged per-instance IUV point lists become fixed
+``(MAX_OBJS, MAX_DP_POINTS)`` arrays with validity masks; losses are masked
+sums over the static point capacity, and the whole head runs inside the one
+jitted train step through the framework's ROI-head extension hooks.
+"""
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from detectron2_centernet_tpu.models.roi_heads.extension import (
+    ROI_HEAD_EXTENSION_REGISTRY,
+    ROIContext,
+    ROIHeadExtension,
+)
+from detectron2_centernet_tpu.models.roi_heads.mask_head import crop_gt_masks
+
+
+class DensePoseHead(nn.Module):
+    """N stacked 3x3 convs + relu (DensePoseV1ConvXHead, v1convx.py:15-61)."""
+
+    num_convs: int = 8
+    hidden_dim: int = 512
+    kernel: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        p = self.kernel // 2
+        for i in range(self.num_convs):
+            x = nn.Conv(
+                self.hidden_dim, (self.kernel, self.kernel),
+                padding=[(p, p), (p, p)], dtype=self.dtype,
+                name=f"body_conv_fcn{i + 1}",
+            )(x)
+            x = nn.relu(x)
+        return x
+
+
+class DensePoseChartPredictor(nn.Module):
+    """4x deconv (k4 s2) + 2x bilinear upscale per output
+    (predictors/chart.py:12-96): coarse segm (K=2), fine segm I (C=25),
+    U (25), V (25) at HEATMAP_SIZE."""
+
+    num_patches: int = 24
+    num_coarse: int = 2
+    deconv_kernel: int = 4
+    up_scale: int = 2
+    dtype: Any = jnp.float32
+
+    def _deconv(self, x, features, name):
+        k = self.deconv_kernel
+        pad = k // 2 - 1
+        return nn.ConvTranspose(
+            features, (k, k), strides=(2, 2),
+            padding=[(k - 1 - pad, k - 1 - pad)] * 2,
+            transpose_kernel=True, dtype=self.dtype, name=name,
+        )(x)
+
+    @staticmethod
+    def _interp2x(x):
+        """Bilinear x2, align_corners=False (torch interpolate semantics)."""
+        n, h, w, c = x.shape
+        return jax.image.resize(x, (n, 2 * h, 2 * w, c), method="bilinear")
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        cp = self.num_patches + 1
+        s = self._interp2x(self._deconv(x, self.num_coarse, "ann_index_lowres"))
+        i_uv = self._interp2x(self._deconv(x, cp, "index_uv_lowres"))
+        u = self._interp2x(self._deconv(x, cp, "u_lowres"))
+        v = self._interp2x(self._deconv(x, cp, "v_lowres"))
+        return s, i_uv, u, v
+
+
+class DensePoseModule(nn.Module):
+    """head + predictor, the unit registered as the ROI extension module."""
+
+    num_convs: int = 8
+    hidden_dim: int = 512
+    kernel: int = 3
+    num_patches: int = 24
+    num_coarse: int = 2
+    deconv_kernel: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pooled: jnp.ndarray, train: bool = False):
+        x = DensePoseHead(
+            num_convs=self.num_convs, hidden_dim=self.hidden_dim,
+            kernel=self.kernel, dtype=self.dtype, name="head",
+        )(pooled, train)
+        return DensePoseChartPredictor(
+            num_patches=self.num_patches, num_coarse=self.num_coarse,
+            deconv_kernel=self.deconv_kernel, dtype=self.dtype,
+            name="predictor",
+        )(x, train)
+
+
+def bilinear_at(grid: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
+    """Sample (H, W, C) at float grid coords (reference losses'
+    _linear_interpolation_utilities convention: texel centers at integers,
+    indices clamped)."""
+    h, w, _ = grid.shape
+    y0 = jnp.clip(jnp.floor(ys), 0, h - 1).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xs), 0, w - 1).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = jnp.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = jnp.clip(xs - x0, 0.0, 1.0)[:, None]
+    v00, v01 = grid[y0, x0], grid[y0, x1]
+    v10, v11 = grid[y1, x0], grid[y1, x1]
+    return (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+
+
+@ROI_HEAD_EXTENSION_REGISTRY.register()
+class DensePoseExtension(ROIHeadExtension):
+    """Chart-model DensePose as a pluggable ROI head."""
+
+    name = "densepose"
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        c = cfg.MODEL.ROI_DENSEPOSE_HEAD
+        self.pooler_resolution = int(c.POOLER_RESOLUTION)
+        self.heatmap_size = int(c.HEATMAP_SIZE)
+        self.num_patches = int(c.NUM_PATCHES)
+        self.num_coarse = int(c.NUM_COARSE_SEGM_CHANNELS)
+        self.num_convs = int(c.NUM_STACKED_CONVS)
+        self.hidden_dim = int(c.CONV_HEAD_DIM)
+        self.kernel = int(c.CONV_HEAD_KERNEL)
+        self.deconv_kernel = int(c.DECONV_KERNEL)
+        self.w_points = float(c.POINT_REGRESSION_WEIGHTS)
+        self.w_part = float(c.PART_WEIGHTS)
+        self.w_segm = float(c.INDEX_WEIGHTS)
+        self.max_dets = int(c.MAX_DETECTIONS)
+
+    def build_module(self, dtype):
+        return DensePoseModule(
+            num_convs=self.num_convs, hidden_dim=self.hidden_dim,
+            kernel=self.kernel, num_patches=self.num_patches,
+            num_coarse=self.num_coarse, deconv_kernel=self.deconv_kernel,
+            dtype=dtype, name="densepose",
+        )
+
+    def init_shapes(self, channels: int):
+        p = self.pooler_resolution
+        return [((1, p, p, channels), None)]
+
+    # -- training -------------------------------------------------------------
+    def loss(self, ctx: ROIContext) -> Dict[str, jnp.ndarray]:
+        batch = ctx.batch
+        if "gt_dp_x" not in batch:
+            return {}
+        sampled, flat = ctx.sampled, ctx.flat_sampled
+        n, s = sampled["boxes"].shape[:2]
+        flat_boxes = flat["boxes"]  # (N*S, 4)
+        batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), s)
+        pooled = ctx.pool(flat_boxes, batch_idx, self.pooler_resolution)
+        segm, i_uv, u, v = ctx.apply(self.name, pooled, train=True)
+        hs = segm.shape[1]
+
+        # gather matched gt dense annotations per sampled roi
+        def take(key):
+            g = batch[key]  # (N, M, ...)
+            idx = sampled["matched_idx"]  # (N, S)
+            out = jnp.take_along_axis(
+                g, idx.reshape(n, s, *(1,) * (g.ndim - 2)), axis=1
+            )
+            return out.reshape((n * s,) + g.shape[2:])
+
+        dp_x = take("gt_dp_x").astype(jnp.float32)  # (R, P) in [0,256) gt-box
+        dp_y = take("gt_dp_y").astype(jnp.float32)
+        dp_i = take("gt_dp_I").astype(jnp.int32)  # (R, P) in [1..24]
+        dp_u = take("gt_dp_U").astype(jnp.float32)
+        dp_v = take("gt_dp_V").astype(jnp.float32)
+        dp_valid = take("gt_dp_valid").astype(jnp.float32)  # (R, P)
+        gt_boxes = flat["target_boxes"]  # (R, 4) matched gt boxes
+
+        # annotated points -> image coords -> this proposal's heatmap grid
+        gx0, gy0 = gt_boxes[:, 0:1], gt_boxes[:, 1:2]
+        gw = jnp.maximum(gt_boxes[:, 2:3] - gx0, 1e-2)
+        gh = jnp.maximum(gt_boxes[:, 3:4] - gy0, 1e-2)
+        xi = gx0 + dp_x / 256.0 * gw  # (R, P) image coords
+        yi = gy0 + dp_y / 256.0 * gh
+        px0, py0 = flat_boxes[:, 0:1], flat_boxes[:, 1:2]
+        pw = jnp.maximum(flat_boxes[:, 2:3] - px0, 1e-2)
+        ph = jnp.maximum(flat_boxes[:, 3:4] - py0, 1e-2)
+        gx = (xi - px0) / pw * hs  # heatmap grid coords
+        gy = (yi - py0) / ph * hs
+        inside = (gx >= 0) & (gx < hs) & (gy >= 0) & (gy < hs)
+        fg = (flat["is_pos"] & (flat["weights"] > 0)).astype(jnp.float32)
+        pt_w = dp_valid * inside.astype(jnp.float32) * fg[:, None]  # (R, P)
+
+        sample = jax.vmap(bilinear_at)
+        iuv_pts = sample(i_uv.astype(jnp.float32), gy, gx)  # (R, P, 25)
+        u_pts = sample(u.astype(jnp.float32), gy, gx)
+        v_pts = sample(v.astype(jnp.float32), gy, gx)
+
+        # fine segmentation CE at points (mean over valid, x w_part)
+        logp = jax.nn.log_softmax(iuv_pts, axis=-1)
+        ce_i = -jnp.take_along_axis(logp, dp_i[..., None], axis=-1)[..., 0]
+        n_pts = jnp.maximum(pt_w.sum(), 1.0)
+        loss_i = (ce_i * pt_w).sum() / n_pts * self.w_part
+
+        # U/V smooth-L1 at points on the GT part channel (sum, x w_points)
+        u_est = jnp.take_along_axis(u_pts, dp_i[..., None], axis=-1)[..., 0]
+        v_est = jnp.take_along_axis(v_pts, dp_i[..., None], axis=-1)[..., 0]
+
+        def smooth_l1(d):
+            ad = jnp.abs(d)
+            return jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5)
+
+        loss_u = (smooth_l1(u_est - dp_u) * pt_w).sum() * self.w_points
+        loss_v = (smooth_l1(v_est - dp_v) * pt_w).sum() * self.w_points
+
+        # coarse segmentation CE against the gt fg raster resampled into the
+        # proposal window (reference n_segm_chan==2 branch, :724-727)
+        gt_crop = jax.vmap(
+            lambda rast, gb, midx, rois: crop_gt_masks(
+                rast.astype(jnp.float32), gb, midx, rois, hs
+            )
+        )(
+            batch["gt_dp_segm"].astype(jnp.float32),
+            batch["gt_boxes"],
+            sampled["matched_idx"],
+            sampled["boxes"],
+        ).reshape(n * s, hs, hs)
+        seg_t = (gt_crop > 0.5).astype(jnp.int32)
+        seg_logp = jax.nn.log_softmax(segm.astype(jnp.float32), axis=-1)
+        ce_s = -jnp.take_along_axis(seg_logp, seg_t[..., None], axis=-1)[..., 0]
+        # only rois with at least one annotated point carry dense supervision
+        has_dp = (pt_w.sum(axis=1) > 0).astype(jnp.float32)  # (R,)
+        n_fg = jnp.maximum(has_dp.sum(), 1.0)
+        loss_s = (
+            (ce_s.mean(axis=(1, 2)) * has_dp).sum() / n_fg * self.w_segm
+        )
+
+        return {
+            "loss_densepose_I": loss_i,
+            "loss_densepose_U": loss_u,
+            "loss_densepose_V": loss_v,
+            "loss_densepose_S": loss_s,
+        }
+
+    # -- inference ------------------------------------------------------------
+    def inference(self, ctx: ROIContext) -> Dict[str, jnp.ndarray]:
+        dets = ctx.dets
+        n, k = dets["boxes"].shape[:2]
+        kk = min(k, self.max_dets)
+        boxes = dets["boxes"][:, :kk].reshape(n * kk, 4)
+        det_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), kk)
+        pooled = ctx.pool(boxes, det_idx, self.pooler_resolution)
+        segm, i_uv, u, v = ctx.apply(self.name, pooled, train=False)
+        hs = segm.shape[1]
+        coarse_fg = jnp.argmax(segm, axis=-1) > 0  # (R, S, S)
+        labels = jnp.argmax(i_uv, axis=-1)  # (R, S, S) in [0..24]
+        labels = jnp.where(coarse_fg, labels, 0).astype(jnp.uint8)
+        u_sel = jnp.take_along_axis(u, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        v_sel = jnp.take_along_axis(v, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        # zero-pad back to the full detection capacity so every Instances
+        # field shares one length (padding = "no dense output")
+        def pad(a):
+            a = a.reshape(n, kk, hs, hs)
+            return jnp.pad(a, ((0, 0), (0, k - kk), (0, 0), (0, 0)))
+
+        return {
+            "dp_labels": pad(labels),
+            "dp_u": pad(jnp.clip(u_sel, 0.0, 1.0)),
+            "dp_v": pad(jnp.clip(v_sel, 0.0, 1.0)),
+        }
