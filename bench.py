@@ -14,7 +14,7 @@ Knobs (env vars, for perf sweeps):
     BENCH_DCN_IMPL      auto|exact|window|pallas   (default auto)
     BENCH_DCN_WINDOW    int, XLA window-path clamp (default 4 when impl=window)
     BENCH_DCN_V_WINDOW  int, pallas vertical coverage (default 4)
-    BENCH_BATCH         int (default 16)
+    BENCH_BATCH         int (default 32)
     BENCH_TRAIN         1 -> also measure the jitted train step
 """
 
@@ -37,7 +37,7 @@ def main() -> None:
     from detectron2_centernet_tpu.config import get_cfg
     from detectron2_centernet_tpu.models import build_model
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     impl = os.environ.get("BENCH_DCN_IMPL", "auto")
 
     cfg = get_cfg()

@@ -294,6 +294,20 @@ def _input_defaults() -> CN:
     i.CROP.ENABLED = False
     i.CROP.TYPE = "relative_range"
     i.CROP.SIZE = [0.9, 0.9]
+    # reference DeepLab/panoptic semantics: retry windows until no single
+    # sem-seg category exceeds this area fraction (1.0 = disabled)
+    i.CROP.SINGLE_CATEGORY_MAX_AREA = 1.0
+    # TPU additions: rotation/extent augmentation knobs (the reference
+    # exposes RandomRotation/RandomExtent programmatically only)
+    i.ROTATION = CN()
+    i.ROTATION.ENABLED = False
+    i.ROTATION.ANGLE = [-10.0, 10.0]
+    i.ROTATION.EXPAND = True
+    i.ROTATION.SAMPLE_STYLE = "range"
+    i.EXTENT = CN()
+    i.EXTENT.ENABLED = False
+    i.EXTENT.SCALE_RANGE = (0.8, 1.2)
+    i.EXTENT.SHIFT_RANGE = (0.2, 0.2)
     i.FORMAT = "BGR"
     i.MASK_FORMAT = "polygon"
     # Fork-added flag (reference defaults.py:91).

@@ -23,7 +23,16 @@ import numpy as np
 
 from ..config import CfgNode
 from . import detection_utils as utils
-from .transforms import CenterAffineAug, PhotometricAug, letterbox_transform
+from .transforms import (
+    CenterAffineAug,
+    PhotometricAug,
+    RandomCropCategoryAreaConstraint,
+    RandomExtentAug,
+    RandomRotationAug,
+    compose_affine,
+    letterbox_transform,
+    window_to_output_transform,
+)
 
 __all__ = ["DatasetMapper"]
 
@@ -62,6 +71,69 @@ class DatasetMapper:
         self.photometric: Optional[PhotometricAug] = (
             PhotometricAug() if (is_train and cfg.INPUT.COLOR_JITTER) else None
         )
+        self.flip_prob = 0.5 if cfg.INPUT.RANDOM_FLIP != "none" else 0.0
+        self.rotation = (
+            RandomRotationAug(
+                tuple(cfg.INPUT.ROTATION.ANGLE),
+                expand=bool(cfg.INPUT.ROTATION.EXPAND),
+                sample_style=str(cfg.INPUT.ROTATION.SAMPLE_STYLE),
+            )
+            if cfg.INPUT.ROTATION.ENABLED
+            else None
+        )
+        self.crop = (
+            RandomCropCategoryAreaConstraint(
+                str(cfg.INPUT.CROP.TYPE),
+                tuple(cfg.INPUT.CROP.SIZE),
+                float(cfg.INPUT.CROP.SINGLE_CATEGORY_MAX_AREA),
+                ignored_category=255,
+            )
+            if cfg.INPUT.CROP.ENABLED
+            else None
+        )
+        self.extent = (
+            RandomExtentAug(
+                tuple(cfg.INPUT.EXTENT.SCALE_RANGE),
+                tuple(cfg.INPUT.EXTENT.SHIFT_RANGE),
+            )
+            if cfg.INPUT.EXTENT.ENABLED
+            else None
+        )
+
+    def _train_geometry(
+        self, dataset_dict, h, w, rng, out_size
+    ) -> np.ndarray:
+        """Compose rotation / crop-or-extent / scale-shift-flip into ONE
+        source->network 2x3 matrix (one resample regardless of how many
+        geometric augmentations are enabled)."""
+        m_pre = np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float64)
+        cur_h, cur_w = h, w
+        if self.rotation is not None:
+            m_pre, (cur_h, cur_w) = self.rotation(h, w, rng)
+        if self.crop is not None or self.extent is not None:
+            if self.crop is not None:
+                sem = dataset_dict.get("sem_seg")
+                if sem is None and "sem_seg_file_name" in dataset_dict:
+                    from PIL import Image
+
+                    sem = np.asarray(Image.open(dataset_dict["sem_seg_file_name"]))
+                    dataset_dict["sem_seg"] = sem
+                # the category constraint inspects the source-frame sem-seg;
+                # with rotation enabled the window is sampled pre-rotation
+                window = self.crop(
+                    cur_h, cur_w, rng,
+                    sem_seg=sem if self.rotation is None else None,
+                )
+            else:
+                window = self.extent(cur_h, cur_w, rng)
+            m = compose_affine(window_to_output_transform(window, out_size), m_pre)
+            if rng.rand() < self.flip_prob:
+                flip = np.array(
+                    [[-1, 0, out_size[1] - 1], [0, 1, 0]], np.float64
+                )
+                m = compose_affine(flip, m)
+            return m
+        return compose_affine(self.affine_aug(cur_h, cur_w, rng), m_pre)
 
     def __call__(
         self, dataset_dict: dict, rng: Optional[np.random.RandomState] = None
@@ -79,8 +151,8 @@ class DatasetMapper:
                 rng = np.random.RandomState()
             if self.photometric is not None:
                 image = self.photometric(image, rng)
-            m = self.affine_aug(h, w, rng)
             out_size = self.train_size
+            m = self._train_geometry(dataset_dict, h, w, rng, out_size)
         else:
             m = letterbox_transform(h, w, self.test_size)
             out_size = self.test_size

@@ -106,13 +106,22 @@ def apply_affine_to_points(m: np.ndarray, pts: np.ndarray) -> np.ndarray:
 
 
 def apply_affine_to_boxes(m: np.ndarray, boxes: np.ndarray) -> np.ndarray:
-    """XYXY boxes (N, 4) through an axis-aligned 2x3 affine."""
+    """XYXY boxes (N, 4) -> axis-aligned envelope of all four warped
+    corners (exact for axis-aligned affines; the tight-rotated-bbox
+    behavior of the reference's RotationTransform.apply_box,
+    transform.py:284-313, for rotations)."""
     if len(boxes) == 0:
         return boxes
-    p0 = apply_affine_to_points(m, boxes[:, 0:2])
-    p1 = apply_affine_to_points(m, boxes[:, 2:4])
-    lo = np.minimum(p0, p1)
-    hi = np.maximum(p0, p1)
+    corners = np.stack(
+        [
+            boxes[:, [0, 1]], boxes[:, [2, 1]],
+            boxes[:, [0, 3]], boxes[:, [2, 3]],
+        ],
+        axis=1,
+    )  # (N, 4, 2)
+    warped = apply_affine_to_points(m, corners)
+    lo = warped.min(axis=1)
+    hi = warped.max(axis=1)
     return np.concatenate([lo, hi], axis=1)
 
 

@@ -113,3 +113,166 @@ def letterbox_transform(height: int, width: int, out_size: Tuple[int, int]) -> n
     reference augmentation_impl.py:176-209)."""
     center = np.array([width / 2.0, height / 2.0], np.float64)
     return get_affine_transform(center, float(max(height, width)), out_size)
+
+
+def compose_affine(outer: np.ndarray, inner: np.ndarray) -> np.ndarray:
+    """2x3 matrices: apply ``inner`` first, then ``outer``."""
+    return np.concatenate(
+        [
+            outer[:, :2] @ inner[:, :2],
+            (outer[:, :2] @ inner[:, 2] + outer[:, 2])[:, None],
+        ],
+        axis=1,
+    )
+
+
+class RandomRotationAug:
+    """Rotation by a sampled angle, as a source-frame affine component
+    (reference ``RandomRotation``, augmentation_impl.py:211-263 +
+    ``RotationTransform``, transform.py:139-210).
+
+    Returns ``(matrix, (new_h, new_w))``: with ``expand`` the canvas grows
+    to the rotated image's bound (reference cv2 bound computation)."""
+
+    def __init__(
+        self,
+        angle=(-10.0, 10.0),
+        expand: bool = True,
+        center=None,  # relative [[minx, miny], [maxx, maxy]] or None=center
+        sample_style: str = "range",
+    ) -> None:
+        assert sample_style in ("range", "choice"), sample_style
+        self.angle = tuple(angle) if not np.isscalar(angle) else (angle, angle)
+        self.expand = expand
+        self.center = center
+        self.is_range = sample_style == "range"
+
+    def __call__(self, height: int, width: int, rng: np.random.RandomState):
+        if self.is_range:
+            angle = rng.uniform(self.angle[0], self.angle[1])
+        else:
+            angle = float(rng.choice(list(self.angle)))
+        if angle % 360 == 0:
+            return np.array([[1, 0, 0], [0, 1, 0]], np.float64), (height, width)
+        if self.center is None:
+            cx, cy = width / 2.0, height / 2.0
+        else:
+            (lox, loy), (hix, hiy) = self.center
+            cx = width * rng.uniform(lox, hix)
+            cy = height * rng.uniform(loy, hiy)
+        rad = np.deg2rad(angle)
+        cos, sin = np.cos(rad), np.sin(rad)
+        # counter-clockwise in image coords (y down) = cv2 convention
+        m = np.array(
+            [[cos, sin, (1 - cos) * cx - sin * cy],
+             [-sin, cos, sin * cx + (1 - cos) * cy]],
+            np.float64,
+        )
+        if not self.expand:
+            return m, (height, width)
+        # expand: bound of the rotated image + recenter (transform.py:168-183)
+        bw = int(np.round(height * abs(sin) + width * abs(cos)))
+        bh = int(np.round(height * abs(cos) + width * abs(sin)))
+        m[0, 2] += bw / 2.0 - cx
+        m[1, 2] += bh / 2.0 - cy
+        return m, (bh, bw)
+
+
+class RandomCropAug:
+    """Random crop window (reference ``RandomCrop``,
+    augmentation_impl.py:265-314): returns an XYWH window in source coords;
+    the mapper composes it into the single warp matrix."""
+
+    def __init__(self, crop_type: str, crop_size) -> None:
+        assert crop_type in (
+            "relative_range", "relative", "absolute", "absolute_range"
+        ), crop_type
+        self.crop_type = crop_type
+        self.crop_size = tuple(crop_size)
+
+    def get_crop_size(self, h: int, w: int, rng: np.random.RandomState):
+        if self.crop_type == "relative":
+            ch, cw = self.crop_size
+            return int(h * ch + 0.5), int(w * cw + 0.5)
+        if self.crop_type == "relative_range":
+            cs = np.asarray(self.crop_size, np.float32)
+            ch, cw = cs + rng.rand(2) * (1 - cs)
+            return int(h * ch + 0.5), int(w * cw + 0.5)
+        if self.crop_type == "absolute":
+            return min(self.crop_size[0], h), min(self.crop_size[1], w)
+        # absolute_range
+        assert self.crop_size[0] <= self.crop_size[1]
+        ch = rng.randint(min(h, self.crop_size[0]), min(h, self.crop_size[1]) + 1)
+        cw = rng.randint(min(w, self.crop_size[0]), min(w, self.crop_size[1]) + 1)
+        return ch, cw
+
+    def __call__(self, height: int, width: int, rng: np.random.RandomState):
+        ch, cw = self.get_crop_size(height, width, rng)
+        assert height >= ch and width >= cw, (height, width, ch, cw)
+        y0 = rng.randint(height - ch + 1)
+        x0 = rng.randint(width - cw + 1)
+        return x0, y0, cw, ch
+
+
+class RandomCropCategoryAreaConstraint(RandomCropAug):
+    """RandomCrop that retries (<=10x) until no single sem-seg category
+    fills more than ``single_category_max_area`` of the window (reference
+    ``RandomCrop_CategoryAreaConstraint``, augmentation_impl.py:318-365)."""
+
+    def __init__(
+        self,
+        crop_type: str,
+        crop_size,
+        single_category_max_area: float = 1.0,
+        ignored_category=None,
+    ) -> None:
+        super().__init__(crop_type, crop_size)
+        self.max_area = float(single_category_max_area)
+        self.ignored = ignored_category
+
+    def __call__(
+        self,
+        height: int,
+        width: int,
+        rng: np.random.RandomState,
+        sem_seg: Optional[np.ndarray] = None,
+    ):
+        if self.max_area >= 1.0 or sem_seg is None:
+            return super().__call__(height, width, rng)
+        for _ in range(10):
+            x0, y0, cw, ch = super().__call__(height, width, rng)
+            window = sem_seg[y0 : y0 + ch, x0 : x0 + cw]
+            labels, counts = np.unique(window, return_counts=True)
+            if self.ignored is not None:
+                counts = counts[labels != self.ignored]
+            if len(counts) > 1 and counts.max() < counts.sum() * self.max_area:
+                return x0, y0, cw, ch
+        return x0, y0, cw, ch
+
+
+class RandomExtentAug:
+    """Sample a random sub/super-image extent around the center (reference
+    ``RandomExtent``, augmentation_impl.py:368-417): returns the XYWH source
+    rect (possibly out of bounds; the warp zero-pads)."""
+
+    def __init__(self, scale_range, shift_range) -> None:
+        self.scale_range = tuple(scale_range)
+        self.shift_range = tuple(shift_range)
+
+    def __call__(self, height: int, width: int, rng: np.random.RandomState):
+        rect = np.array([-0.5 * width, -0.5 * height, 0.5 * width, 0.5 * height])
+        rect *= rng.uniform(self.scale_range[0], self.scale_range[1])
+        rect[0::2] += self.shift_range[0] * width * (rng.rand() - 0.5)
+        rect[1::2] += self.shift_range[1] * height * (rng.rand() - 0.5)
+        rect[0::2] += 0.5 * width
+        rect[1::2] += 0.5 * height
+        x0, y0 = rect[0], rect[1]
+        return x0, y0, rect[2] - x0, rect[3] - y0
+
+
+def window_to_output_transform(window, out_size: Tuple[int, int]) -> np.ndarray:
+    """2x3 matrix mapping an XYWH source window onto the output canvas."""
+    x0, y0, cw, ch = window
+    sx = out_size[1] / float(cw)
+    sy = out_size[0] / float(ch)
+    return np.array([[sx, 0, -x0 * sx], [0, sy, -y0 * sy]], np.float64)
