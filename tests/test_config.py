@@ -116,3 +116,20 @@ def test_configurable():
     assert m2.depth == 50 and m2.width == 3
     m3 = Model(depth=18)
     assert m3.depth == 18
+
+
+def test_every_repo_config_merges():
+    """Every YAML under configs/ (incl. the 28 quick_schedules ported from
+    the reference) must merge into get_cfg() cleanly."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    files = sorted(glob.glob(os.path.join(root, "**", "*.yaml"), recursive=True))
+    assert len(files) >= 100, len(files)
+    for f in files:
+        cfg = get_cfg()
+        cfg.merge_from_file(f)  # raises on unknown keys / broken _BASE_
+    # the quick_schedules acceptance harness is fully populated
+    qs = [f for f in files if "quick_schedules" in f]
+    assert len(qs) >= 28, len(qs)
