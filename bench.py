@@ -45,7 +45,7 @@ def main() -> None:
     cfg.MODEL.BACKBONE.NAME = "build_dla34_backbone"
     cfg.TPU.DTYPE = "bfloat16"
     cfg.TPU.DCN_IMPL = impl
-    cfg.TPU.DCN_V_WINDOW = int(os.environ.get("BENCH_DCN_V_WINDOW", "4"))
+    cfg.TPU.DCN_V_WINDOW = int(os.environ.get("BENCH_DCN_V_WINDOW", "3"))
     cfg.TPU.DCN_WINDOW = int(
         os.environ.get("BENCH_DCN_WINDOW", "4" if impl == "window" else "0")
     )

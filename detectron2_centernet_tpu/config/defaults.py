@@ -422,7 +422,7 @@ def _tpu_defaults() -> CN:
     t.DCN_IMPL = "auto"
     # Pallas kernel vertical offset coverage (|dy| <= V exact, farther
     # samples drop to zero; horizontal offsets are always exact).
-    t.DCN_V_WINDOW = 4
+    t.DCN_V_WINDOW = 3
     return t
 
 

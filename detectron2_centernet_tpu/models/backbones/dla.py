@@ -200,7 +200,7 @@ class IDAUp(nn.Module):
     up_factors: Sequence[int]  # factor per processed level (index 1..)
     dcn_window: int = 0
     dcn_impl: str = "auto"
-    dcn_v_window: int = 4
+    dcn_v_window: int = 3
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -228,7 +228,7 @@ class DLAUp(nn.Module):
     scales: Sequence[int]
     dcn_window: int = 0
     dcn_impl: str = "auto"
-    dcn_v_window: int = 4
+    dcn_v_window: int = 3
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -279,7 +279,7 @@ class DLA34(nn.Module):
     last_level: int = 5
     dcn_window: int = 0
     dcn_impl: str = "auto"
-    dcn_v_window: int = 4
+    dcn_v_window: int = 3
     dtype: Any = jnp.float32
 
     @property

@@ -88,7 +88,7 @@ class DeformConvV2(nn.Module):
     features: int
     window: int = 0  # offset clamp for the blocked fast path (0 = exact)
     impl: str = "auto"  # "auto" | "exact" | "window" | "pallas"
-    v_window: int = 4  # pallas vertical offset coverage
+    v_window: int = 3  # pallas vertical offset coverage (max 3: 8-row band)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -130,7 +130,7 @@ class DeformConvV2(nn.Module):
                 and not train
                 and jax.default_backend() == "tpu"
             )
-        ) and pallas_dcn_supported(x.shape, v_window=self.v_window)
+        ) and pallas_dcn_supported(x.shape, v_window=self.v_window, dtype=self.dtype)
         if use_pallas:
             # forward-only MXU kernel; training takes the differentiable
             # XLA path below (see ops/pallas_dcn.py semantics note)

@@ -290,7 +290,14 @@ class CenterNet:
         z = self.module.apply(variables, x, train=False)
         hm = jnp.clip(jax.nn.sigmoid(z["hm"].astype(jnp.float32)), 1e-4, 1 - 1e-4)
         boxes, scores, classes = ctdet_decode(
-            hm, z["wh"], z["reg"], k=self.topk_candidates, down_ratio=self.down_ratio
+            hm,
+            z["wh"],
+            z["reg"],
+            k=self.topk_candidates,
+            down_ratio=self.down_ratio,
+            # the peak-suppression + top-k sweep is HBM-bound; run it at the
+            # model's compute width (box/score gathers stay f32)
+            score_dtype=self.dtype if self.dtype != jnp.float32 else None,
         )
         return {"boxes": boxes, "scores": scores, "classes": classes}
 

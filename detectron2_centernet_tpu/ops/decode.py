@@ -35,27 +35,37 @@ def heat_nms(hm: jnp.ndarray, kernel: int = 3) -> jnp.ndarray:
     return jnp.where(hmax == hm, hm, jnp.zeros_like(hm))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "down_ratio"))
+@functools.partial(jax.jit, static_argnames=("k", "down_ratio", "score_dtype"))
 def ctdet_decode(
     hm: jnp.ndarray,  # (N, H, W, C) sigmoided+clamped heatmap
     wh: jnp.ndarray,  # (N, H, W, 2)
     reg: jnp.ndarray,  # (N, H, W, 2)
     k: int = 100,
     down_ratio: int = 4,
+    score_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode top-k detections per image.
 
-    Returns (boxes (N, K, 4) XYXY in input pixels, scores (N, K),
+    Returns (boxes (N, K, 4) XYXY in input pixels, scores (N, K) f32,
     classes (N, K) int32), sorted by descending score.
+
+    ``score_dtype=jnp.bfloat16`` runs the bandwidth-bound peak suppression +
+    top-k over a half-width heatmap (the (N,H,W,C) map is ~170 MB at f32 for
+    the 512^2/B=32 production shape and decode is HBM-bound); scores lose
+    ~3 decimal digits, which can permute near-equal candidates but leaves
+    box coordinates (always gathered/computed in f32) untouched.
     """
     n, h, w, c = hm.shape
+    if score_dtype is not None:
+        hm = hm.astype(score_dtype)
     heat = heat_nms(hm)
 
     # Flatten to (N, C*H*W) in (class, y, x) index order to mirror the
     # reference's NCHW flattening, so tie-breaking picks the same elements.
     flat = jnp.transpose(heat, (0, 3, 1, 2)).reshape(n, c * h * w)
 
-    scores, inds = jax.lax.top_k(flat.astype(jnp.float32), k)  # (N, K)
+    scores, inds = jax.lax.top_k(flat, k)  # (N, K)
+    scores = scores.astype(jnp.float32)
     classes = (inds // (h * w)).astype(jnp.int32)
     pix = inds % (h * w)  # (N, K) flattened y*w + x
     ys = (pix // w).astype(jnp.float32)

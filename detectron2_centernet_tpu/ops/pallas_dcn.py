@@ -1,41 +1,51 @@
-"""Pallas TPU kernel: modulated deformable 3x3 conv (DCNv2) forward.
+"""Pallas TPU kernel: modulated deformable 3x3 conv (DCNv2) forward, v2.
 
 Replaces the reference's ``modulated_deformable_im2col`` CUDA kernels
 (``/root/reference/detectron2/layers/csrc/deformable/deform_conv_cuda_kernel.cu:786-952``)
 with an MXU-native formulation.  Per-pixel 2D deformable sampling is NOT
 separable (the vertical sample position varies with the output column), so
-instead of gather ops the kernel expresses bilinear interpolation as two
-matrix contractions per (output row, tap):
+bilinear interpolation is expressed as one matrix contraction per
+(output row, tap-row group) plus a cheap lane-aligned vertical fold:
 
-  1. **Horizontal tent matmul** — ``G = Xsub @ HkT`` where
-     ``HkT[x, x'] = max(0, 1 - |x - Qx_k(r, x')|)`` is the bilinear "tent"
-     over the *full* row (horizontal offsets are EXACT/unbounded) and
-     ``Xsub`` is the ``2*vw + 2``-row vertical sub-band a tap can reach,
-     flattened row-major to ``[(row, cin), x]``.  One 128-deep MXU
-     contraction replaces all horizontal gathers.
-  2. **Vertical tent + conv fold** — the sub-band-wide vertical tent
-     (× modulation mask) is broadcast across channels on the VPU, then a
-     second MXU dot with the tap's conv weight *broadcast over band rows*
-     (``EWT_k[cout, (row, cin)] = W_k[cin, cout]``) simultaneously contracts
-     band rows, input channels and accumulates the 3x3-conv output — no
-     9*Cin patch tensor ever touches HBM.
+  1. **Horizontal tent matmul** — for the 3 taps sharing a kernel row
+     (same ``ky``), one dot ``G3 = Xsub @ H3`` where
+     ``H3[x, t*W + x'] = max(0, 1 - |x - Qx_t(r, x')|)`` is the bilinear
+     "tent" over the *full* row (horizontal offsets are EXACT/unbounded)
+     and ``Xsub`` is the ``2*vw + 2``-row vertical sub-band a tap row can
+     reach, flattened row-major to ``[(row, cin), x]``.  One 128-deep MXU
+     contraction replaces all horizontal gathers for 3 taps at once.
+  2. **Vertical tent fold (VPU)** — the sub-band vertical tent
+     (x modulation mask) has at most 2 non-zero rows per output pixel;
+     it is applied as ``sub_rows`` broadcast-FMAs
+     ``V3 += ty3[i] * G3[i*cin:(i+1)*cin]`` — lane-aligned, no sublane
+     broadcasts, no (row, cin)-expanded weight tensor.
+  3. **Weight contraction** — the folded per-tap samples are assembled
+     into ``Vfull (9*cin, W)`` and contracted once with the 3x3 conv
+     weight ``EW (cout, 9*cin)`` — a single MXU dot per output row.
 
-Every operand keeps its natural Mosaic layout: tents are built transposed
-(input coordinate on sublanes via iota, per-output-pixel positions on
-lanes), both dots are plain NN contractions, the output leaves the kernel
-channel-major ``(B, H, Cout, W)`` and is transposed once by XLA.  Each grid
-step owns ``r_blk`` output rows of one image so the band DMA amortizes;
-all loops are statically unrolled.
+v1 of this kernel applied the vertical tent as an MXU-sized elementwise
+product (broadcast to ``(sub*cin, W)``) and folded rows inside a large
+second matmul; that made it VPU-bound (the broadcast+mask touched 3x more
+data than the fold needs) and 2.7x slower than this formulation.
+
+**Lane packing**: maps narrower than 128 lanes (the 64^2 / 32^2 DLA-34
+stages) pack ``P = 128 // W`` images side by side along the lane axis;
+the horizontal tent is masked to same-image (x // W == x' // W) entries,
+which reproduces exact zero-padding at image borders.  This keeps every
+DCN in the DLAUp/IDAUp stack on the MXU instead of falling back to the
+gather-based XLA path.
 
 Semantics vs the exact op (``deform_conv.py::modulated_deform_conv``):
 bit-matching zero-padded bilinear sampling whenever the *vertical* offset
 |dy| <= v_window (horizontal offsets are always exact); samples whose
 vertical position falls outside the band contribute zero ("drop-far"),
-unlike the XLA window path which clamps.  Forward-only: training
-differentiates through the exact XLA path.
+unlike the XLA window path which clamps.  v_window <= 3 so the band fits
+8 sublanes (one f32 vreg).  Forward-only: training differentiates through
+the exact XLA path.
 
 Constraints (checked by ``pallas_dcn_supported``): 3x3 kernel, stride 1,
-dilation 1, Cin % 8 == 0.
+dilation 1, Cin % 16 == 0 (bf16 sublane tile; % 8 for f32), W % 128 == 0
+or W in {32, 64} with the batch divisible by the packing factor.
 """
 
 import functools
@@ -47,9 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["dcn_conv_pallas", "pallas_dcn_supported", "V_WINDOW_DEFAULT"]
 
-V_WINDOW_DEFAULT = 4  # vertical offset coverage
-
-_KY = (-1, -1, -1, 0, 0, 0, 1, 1, 1)  # tap row offsets, row-major 3x3
+V_WINDOW_DEFAULT = 3  # vertical offset coverage; 2*v+2 = 8 rows = one vreg
 
 
 def _pick_r_blk(h: int) -> int:
@@ -60,81 +68,86 @@ def _pick_r_blk(h: int) -> int:
 
 
 def _kernel(
-    qy_ref,  # (1, r_blk, 9, W) f32 — absolute vertical sample positions
-    qx_ref,  # (1, r_blk, 9, W) f32 — absolute horizontal positions
-    m_ref,  # (1, r_blk, 9, W) f32 — modulation mask
-    ewt_ref,  # (9, Cout, SUB*Cin) — conv weight broadcast over sub-band rows
-    x_hbm,  # (B, H, Cin, W) in HBM
-    o_ref,  # (1, r_blk, Cout, W)
-    band,  # VMEM scratch (BAND, Cin, W)
-    sem,
+    qy_ref,  # (1, r_blk, 3, 3*Wp) f32 — absolute vertical sample positions
+    qx_ref,  # (1, r_blk, 3, 3*Wp) f32 — absolute (packed) horizontal positions
+    m_ref,  # (1, r_blk, 3, 3*Wp) f32 — modulation mask
+    ew_ref,  # (cout, 9*cin) — conv weight, tap-major
+    x_ref,  # (1, H, cin, Wp) — one packed image, whole-height VMEM block
+    o_ref,  # (1, r_blk, cout, Wp)
+    vfull,  # VMEM scratch (9*cin, Wp)
     *,
     h: int,
-    w: int,
+    wp: int,
+    w_img: int,
     cin: int,
     cout: int,
-    band_tot: int,
-    sub_rows: int,
+    sub: int,
     v_window: int,
     r_blk: int,
 ):
-    b = pl.program_id(0)
-    rb = pl.program_id(1)
-    r0 = rb * r_blk
-    s0 = jnp.clip(r0 - 1 - v_window, 0, h - band_tot)
-
-    copy = pltpu.make_async_copy(x_hbm.at[b, pl.ds(s0, band_tot)], band, sem)
-    copy.start()
-
+    r0 = pl.program_id(1) * r_blk
     f32 = jnp.float32
-    # input x-coordinate on sublanes, output pixel x' on lanes
-    xiota = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0).astype(f32)
-    subiota = jax.lax.broadcasted_iota(jnp.int32, (sub_rows, 1), 0).astype(f32)
+    cdt = x_ref.dtype
 
-    copy.wait()
+    # input x-coordinate on sublanes, (tap, output pixel x') on lanes
+    xiota = jax.lax.broadcasted_iota(jnp.int32, (wp, 3 * wp), 0).astype(f32)
+    subiota = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0).astype(f32)
+    if w_img != wp:
+        # lane packing: a tent entry is valid only when the input column x
+        # and the output column x' fall in the same packed image (exact
+        # zero-padding at image borders)
+        lane_img = (
+            jax.lax.broadcasted_iota(jnp.int32, (wp, 3 * wp), 1) % wp
+        ) // w_img
+        same_img = (xiota.astype(jnp.int32) // w_img) == lane_img
+
+    hiprec = (
+        jax.lax.Precision.HIGHEST if cdt == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
 
     for j in range(r_blk):
-        acc = jnp.zeros((cout, w), jnp.float32)
-        for k in range(9):
-            qx = qx_ref[0, j, k].reshape(1, w)
-            qy = qy_ref[0, j, k].reshape(1, w)
-            mk = m_ref[0, j, k].reshape(1, w)
-            # the sub-band this tap can reach for this output row
-            a = jnp.clip(r0 + j + _KY[k] - v_window - s0, 0, band_tot - sub_rows)
-            xs = band[pl.ds(a, sub_rows)].reshape(sub_rows * cin, w)
-            # horizontal bilinear tent over the full row — exact, 0 outside
-            hxt = jnp.maximum(0.0, 1.0 - jnp.abs(xiota - qx))  # [x, x']
-            g = jax.lax.dot_general(
+        qy_j = qy_ref[0, j]  # (3, 3*Wp)
+        qx_j = qx_ref[0, j]
+        m_j = m_ref[0, j]
+        for g in range(3):  # tap-row groups, ky = g - 1
+            a = jnp.clip(r0 + j + (g - 1) - v_window, 0, h - sub)
+            xs = x_ref[0, pl.ds(a, sub)].reshape(sub * cin, wp)
+            qx3 = qx_j[g : g + 1]  # (1, 3*Wp)
+            hxt = jnp.maximum(0.0, 1.0 - jnp.abs(xiota - qx3))
+            if w_img != wp:
+                hxt = jnp.where(same_img, hxt, 0.0)
+            g3 = jax.lax.dot_general(
                 xs,
-                hxt.astype(xs.dtype),
+                hxt.astype(cdt),
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=(
-                    jax.lax.Precision.HIGHEST
-                    if xs.dtype == jnp.float32
-                    else jax.lax.Precision.DEFAULT
-                ),
-            )  # [(row, c), x']
+                preferred_element_type=f32,  # Mosaic requires 32-bit acc
+                precision=hiprec,
+            ).astype(cdt)  # [(row, c), (t, x')]
             # vertical tent on absolute row coords (correct zero-padding),
-            # modulation folded in, broadcast channel-minor across sublanes
-            rowc = subiota + (s0 + a).astype(f32)  # [row, 1]
-            ty = jnp.maximum(0.0, 1.0 - jnp.abs(rowc - qy)) * mk  # [row, x']
-            ty3 = jnp.broadcast_to(
-                ty[:, None, :], (sub_rows, cin, w)
-            ).reshape(sub_rows * cin, w)
-            fk = (g * ty3).astype(ewt_ref.dtype)
-            acc = acc + jax.lax.dot_general(
-                ewt_ref[k],
-                fk,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=(
-                    jax.lax.Precision.HIGHEST
-                    if fk.dtype == jnp.float32
-                    else jax.lax.Precision.DEFAULT
-                ),
-            )  # [cout, x']
+            # modulation folded in; <=2 rows are non-zero per output pixel
+            rowc = subiota + a.astype(f32)  # (sub, 1)
+            ty3 = (jnp.maximum(0.0, 1.0 - jnp.abs(rowc - qy_j[g : g + 1])) *
+                   m_j[g : g + 1]).astype(g3.dtype)  # (sub, 3*Wp)
+            v3 = g3[0:cin] * ty3[0:1]
+            for i in range(1, sub):
+                v3 = v3 + g3[i * cin : (i + 1) * cin] * ty3[i : i + 1]
+            for t in range(3):
+                k = g * 3 + t
+                vfull[k * cin : (k + 1) * cin, :] = (
+                    v3[:, t * wp : (t + 1) * wp].astype(vfull.dtype)
+                )
+        acc = jax.lax.dot_general(
+            ew_ref[:],
+            vfull[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=hiprec,
+        )  # (cout, Wp)
         o_ref[0, j] = acc.astype(o_ref.dtype)
+
+
+def _pack_factor(w: int) -> int:
+    return 128 // w if (w < 128 and 128 % w == 0) else 1
 
 
 def pallas_dcn_supported(
@@ -144,17 +157,23 @@ def pallas_dcn_supported(
     dilation=1,
     v_window=V_WINDOW_DEFAULT,
     interpret=False,
+    dtype=None,
 ) -> bool:
     n, h, w, cin = shape
+    p = _pack_factor(w)
+    csub = 16 if dtype == jnp.bfloat16 else 8  # sublane tile for the reshape
     return (
         tuple(kernel_size) == (3, 3)
         and stride == 1
         and dilation == 1
-        and cin % 8 == 0
+        and cin % csub == 0
         and h >= 2
-        # Mosaic requires the innermost (lane) dim 128-tiled; smaller maps
-        # (64^2 and below in DLA-34 at 512^2) take the exact XLA path
-        and (interpret or w % 128 == 0)
+        and v_window <= 3  # band must fit 8 sublanes
+        # Mosaic requires the innermost (lane) dim 128-tiled; narrower maps
+        # pack 128 // W images along the lane axis (batch padded to P)
+        and (interpret or (w % 128 == 0) or p > 1)
+        # whole-image VMEM block (double-buffered by the pipeline)
+        and h * cin * max(w, 128) * (2 if dtype == jnp.bfloat16 else 4) <= 2**22
     )
 
 
@@ -172,12 +191,26 @@ def dcn_conv_pallas(
     n, h, w, cin = x.shape
     cout = weight.shape[-1]
     assert pallas_dcn_supported(
-        x.shape, v_window=v_window, interpret=interpret
-    ), (x.shape, v_window)
+        x.shape, v_window=v_window, interpret=interpret, dtype=x.dtype
+    ), (x.shape, v_window, x.dtype)
     assert offset.shape == (n, h, w, 18) and mask.shape == (n, h, w, 9)
     r_blk = _pick_r_blk(h)
-    band_tot = min(h, r_blk + 2 * v_window + 3)
-    sub_rows = min(band_tot, 2 * v_window + 2)
+    sub = min(h, 2 * v_window + 2)
+
+    p = _pack_factor(w)
+    n_orig = n
+    if n % p != 0:  # pad the batch to a multiple of the packing factor
+        padn = p - n % p
+        x = jnp.concatenate([x, jnp.zeros((padn,) + x.shape[1:], x.dtype)], 0)
+        offset = jnp.concatenate(
+            [offset, jnp.zeros((padn,) + offset.shape[1:], offset.dtype)], 0
+        )
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((padn,) + mask.shape[1:], mask.dtype)], 0
+        )
+        n = n + padn
+    wp = w * p
+    nb = n // p
 
     f32 = jnp.float32
     ry = jnp.arange(h, dtype=f32)[:, None, None]  # (H,1,1)
@@ -189,54 +222,81 @@ def dcn_conv_pallas(
     qx = (cx[None] + kx + off[..., 1]).transpose(0, 1, 3, 2)
     m_t = mask.astype(f32).transpose(0, 1, 3, 2)
 
+    def pack_q(q):  # (N, H, 9, W) -> (nb, H, 3, 3*Wp), lane = t*Wp + pk*w + x'
+        q = q.reshape(nb, p, h, 3, 3, w)
+        q = q.transpose(0, 2, 3, 4, 1, 5)  # (nb, H, g, t, pk, w)
+        return q.reshape(nb, h, 3, 3 * wp)
+
+    qy_p, qx_p, m_p = pack_q(qy), pack_q(qx), pack_q(m_t)
+    if p > 1:
+        # packed horizontal positions get a per-slot lane offset
+        slot = jnp.arange(p, dtype=f32).reshape(1, 1, 1, 1, p, 1) * w
+        qx_p = (
+            qx_p.reshape(nb, h, 3, 3, p, w) + slot
+        ).reshape(nb, h, 3, 3 * wp)
+
     x_t = x.transpose(0, 1, 3, 2)  # (N, H, Cin, W)
-    # conv weight per tap, transposed and broadcast over sub-band rows:
-    # EWT[k, cout, (row, cin)] = W[k, cin, cout]
-    w9t = weight.reshape(9, cin, cout).astype(x.dtype).transpose(0, 2, 1)
-    ewt = jnp.broadcast_to(
-        w9t[:, :, None, :], (9, cout, sub_rows, cin)
-    ).reshape(9, cout, sub_rows * cin)
+    if p > 1:
+        x_t = (
+            x_t.reshape(nb, p, h, cin, w)
+            .transpose(0, 2, 3, 1, 4)
+            .reshape(nb, h, cin, wp)
+        )
+
+    # conv weight tap-major: EW[cout, k*cin + c] = W[k, c, cout]
+    ew = (
+        weight.reshape(9, cin, cout)
+        .astype(x.dtype)
+        .transpose(2, 0, 1)
+        .reshape(cout, 9 * cin)
+    )
 
     kernel = functools.partial(
         _kernel,
         h=h,
-        w=w,
+        wp=wp,
+        w_img=w,
         cin=cin,
         cout=cout,
-        band_tot=band_tot,
-        sub_rows=sub_rows,
+        sub=sub,
         v_window=v_window,
         r_blk=r_blk,
     )
     qspec = pl.BlockSpec(
-        (1, r_blk, 9, w), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
+        (1, r_blk, 3, 3 * wp), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         kernel,
-        grid=(n, h // r_blk),
+        grid=(nb, h // r_blk),
         in_specs=[
             qspec,
             qspec,
             qspec,
             pl.BlockSpec(
-                (9, cout, sub_rows * cin),
-                lambda b, r: (0, 0, 0),
-                memory_space=pltpu.VMEM,
+                (cout, 9 * cin), lambda b, r: (0, 0), memory_space=pltpu.VMEM
             ),
-            # full feature map stays in HBM; the kernel DMAs row bands
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            # whole packed image resident in VMEM; same block for every row
+            # step, so the pipeline fetches it once per image
+            pl.BlockSpec(
+                (1, h, cin, wp), lambda b, r: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (1, r_blk, cout, w), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
+            (1, r_blk, cout, wp), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n, h, cout, w), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((nb, h, cout, wp), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((band_tot, cin, w), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((9 * cin, wp), x.dtype),
         ],
         interpret=interpret,
-    )(qy, qx, m_t, ewt, x_t)
-    out = out.transpose(0, 1, 3, 2)  # (N, H, W, Cout)
+    )(qy_p, qx_p, m_p, ew, x_t)
+    if p > 1:
+        out = (
+            out.reshape(nb, h, cout, p, w)
+            .transpose(0, 3, 1, 2, 4)
+            .reshape(n, h, cout, w)
+        )
+    out = out.transpose(0, 1, 3, 2)[:n_orig]  # (N, H, W, Cout)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

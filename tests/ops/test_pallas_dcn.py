@@ -17,7 +17,7 @@ from detectron2_centernet_tpu.ops.pallas_dcn import (
 )
 
 
-def _inputs(n=2, h=16, w=32, c=8, co=16, off_scale=3.5, seed=0):
+def _inputs(n=2, h=16, w=32, c=8, co=16, off_scale=2.8, seed=0):
     rng = np.random.RandomState(seed)
     x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
     off = jnp.asarray((rng.rand(n, h, w, 18) * 2 - 1) * off_scale, jnp.float32)
@@ -30,8 +30,8 @@ def _inputs(n=2, h=16, w=32, c=8, co=16, off_scale=3.5, seed=0):
 def test_matches_exact_within_vertical_window():
     """Bit-level parity with the exact unbounded op while |dy| <= v_window
     (horizontal offsets are always exact)."""
-    x, off, mask, wgt, bias = _inputs(off_scale=3.5)
-    got = dcn_conv_pallas(x, off, mask, wgt, bias, v_window=4, interpret=True)
+    x, off, mask, wgt, bias = _inputs(off_scale=2.8)
+    got = dcn_conv_pallas(x, off, mask, wgt, bias, v_window=3, interpret=True)
     ref = modulated_deform_conv(x, off, mask, wgt, bias, window=0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
@@ -44,7 +44,7 @@ def test_horizontal_exact_unbounded():
     off[..., 0::2] = (rng.rand(*off[..., 0::2].shape) * 2 - 1) * 2.0  # dy small
     off[..., 1::2] = (rng.rand(*off[..., 1::2].shape) * 2 - 1) * 20.0  # dx huge
     off = jnp.asarray(off)
-    got = dcn_conv_pallas(x, off, mask, wgt, bias, v_window=4, interpret=True)
+    got = dcn_conv_pallas(x, off, mask, wgt, bias, v_window=3, interpret=True)
     ref = modulated_deform_conv(x, off, mask, wgt, bias, window=0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
@@ -54,7 +54,7 @@ def test_zero_offsets_equal_plain_conv_path():
     x, _, _, wgt, bias = _inputs()
     off = jnp.zeros(x.shape[:3] + (18,), jnp.float32)
     mask = jnp.ones(x.shape[:3] + (9,), jnp.float32)
-    got = dcn_conv_pallas(x, off, mask, wgt, bias, v_window=4, interpret=True)
+    got = dcn_conv_pallas(x, off, mask, wgt, bias, v_window=3, interpret=True)
     ref = modulated_deform_conv(x, off, mask, wgt, bias, window=0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
@@ -67,16 +67,50 @@ def test_drop_far_vertical_semantics():
     off[..., 0::2] = 100.0  # every vertical offset far outside the band
     mask = jnp.ones(x.shape[:3] + (9,), jnp.float32)
     got = dcn_conv_pallas(
-        x, jnp.asarray(off), mask, wgt, None, v_window=4, interpret=True
+        x, jnp.asarray(off), mask, wgt, None, v_window=3, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-5)
 
 
 def test_supported_predicate():
     assert pallas_dcn_supported((1, 16, 32, 8), interpret=True)
-    assert not pallas_dcn_supported((1, 16, 32, 8))  # W % 128 (Mosaic lanes)
+    assert pallas_dcn_supported((1, 16, 32, 8))  # lane-packs w/ batch padding
+    assert pallas_dcn_supported((4, 16, 32, 8))  # lane-packs 4 images
+    assert pallas_dcn_supported((2, 16, 64, 8))  # lane-packs 2 images
     assert pallas_dcn_supported((1, 128, 128, 64))  # production hot shape
+    assert pallas_dcn_supported((4, 32, 32, 256))  # packed small hot shape
     assert not pallas_dcn_supported((1, 16, 32, 6))  # C % 8
     assert not pallas_dcn_supported((1, 16, 32, 8), stride=2)
     assert not pallas_dcn_supported((1, 16, 32, 8), kernel_size=(5, 5))
     assert not pallas_dcn_supported((1, 16, 32, 8), dilation=2)
+    assert not pallas_dcn_supported((1, 128, 128, 64), v_window=4)  # band > 8
+
+
+def test_lane_packing_pads_odd_batch():
+    """n=3 with w=32 pads to the packing factor 4 and slices back."""
+    rng = np.random.RandomState(4)
+    n, h, w, c, co = 3, 16, 32, 8, 8
+    x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+    off = jnp.asarray((rng.rand(n, h, w, 18) * 2 - 1) * 2.0, jnp.float32)
+    mask = jnp.asarray(rng.rand(n, h, w, 9), jnp.float32)
+    wgt = jnp.asarray(rng.randn(3, 3, c, co) * 0.1, jnp.float32)
+    got = dcn_conv_pallas(x, off, mask, wgt, None, v_window=3, interpret=True)
+    assert got.shape == (n, h, w, co)
+    ref = modulated_deform_conv(x, off, mask, wgt, None, window=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_lane_packing_matches_exact():
+    """w=32 packs 4 images on the lane axis; border zero-padding must not
+    bleed across packed neighbors even with huge horizontal offsets."""
+    rng = np.random.RandomState(3)
+    n, h, w, c, co = 4, 16, 32, 8, 16
+    x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+    off = np.asarray((rng.rand(n, h, w, 18) * 2 - 1), np.float32)
+    off[..., 1::2] *= 30.0  # dx far outside the 32-wide image
+    off = jnp.asarray(off)
+    mask = jnp.asarray(rng.rand(n, h, w, 9), jnp.float32)
+    wgt = jnp.asarray(rng.randn(3, 3, c, co) * 0.1, jnp.float32)
+    got = dcn_conv_pallas(x, off, mask, wgt, None, v_window=3, interpret=True)
+    ref = modulated_deform_conv(x, off, mask, wgt, None, window=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
