@@ -21,7 +21,11 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.deform_conv import modulated_deform_conv
-from ..ops.pallas_dcn import dcn_conv_pallas, pallas_dcn_supported
+from ..ops.pallas_dcn import (
+    dcn_conv_pallas,
+    dcn_conv_pallas_ad,
+    pallas_dcn_supported,
+)
 
 BN_MOMENTUM = 0.9  # = 1 - torch_momentum(0.1), reference dla.py:27
 BN_EPS = 1e-5
@@ -125,15 +129,15 @@ class DeformConvV2(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         use_pallas = (
             self.impl == "pallas"
-            or (
-                self.impl == "auto"
-                and not train
-                and jax.default_backend() == "tpu"
-            )
+            or (self.impl == "auto" and jax.default_backend() == "tpu")
         ) and pallas_dcn_supported(x.shape, v_window=self.v_window, dtype=self.dtype)
-        if use_pallas:
-            # forward-only MXU kernel; training takes the differentiable
-            # XLA path below (see ops/pallas_dcn.py semantics note)
+        if use_pallas and train:
+            # custom-VJP MXU kernel: Pallas forward + mirror Pallas backward
+            y = dcn_conv_pallas_ad(
+                x, offset, mask, kernel.astype(self.dtype), bias,
+                v_window=self.v_window,
+            )
+        elif use_pallas:
             y = dcn_conv_pallas(
                 x, offset, mask, kernel.astype(self.dtype), bias,
                 v_window=self.v_window,

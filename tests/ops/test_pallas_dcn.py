@@ -72,6 +72,56 @@ def test_drop_far_vertical_semantics():
     np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-5)
 
 
+def test_vjp_matches_exact_gradients():
+    """Gradients of the Pallas custom-VJP vs jax.grad of the exact XLA op.
+    With |dy| <= v_window the forwards agree exactly, so the true gradients
+    agree too (up to float reassociation)."""
+    from detectron2_centernet_tpu.ops.pallas_dcn import dcn_conv_pallas_ad
+
+    x, off, mask, wgt, bias = _inputs(n=2, h=16, w=32, c=8, co=16, off_scale=2.5)
+    # keep sample positions off exact integers: the subgradient of the
+    # bilinear tent at frac==0 is an arbitrary (measure-zero) choice and
+    # legitimately differs between implementations
+    off = off + jnp.where(jnp.abs(off - jnp.round(off)) < 1e-3, 0.0371, 0.0)
+
+    def loss_pallas(x, off, mask, wgt, bias):
+        out = dcn_conv_pallas_ad(x, off, mask, wgt, bias, v_window=3, interpret=True)
+        return jnp.sum(jnp.sin(out))  # nonlinear reduction exercises cotangents
+
+    def loss_exact(x, off, mask, wgt, bias):
+        out = modulated_deform_conv(x, off, mask, wgt, bias, window=0)
+        return jnp.sum(jnp.sin(out))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(x, off, mask, wgt, bias)
+    ge = jax.grad(loss_exact, argnums=(0, 1, 2, 3, 4))(x, off, mask, wgt, bias)
+    names = ["dx", "doffset", "dmask", "dweight", "dbias"]
+    for name, a, b in zip(names, gp, ge):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3, err_msg=name
+        )
+
+
+def test_vjp_packed_gradients():
+    """Gradient parity with lane packing (w=32 -> 4 images per row)."""
+    from detectron2_centernet_tpu.ops.pallas_dcn import dcn_conv_pallas_ad
+
+    x, off, mask, wgt, _ = _inputs(n=4, h=8, w=32, c=8, co=8, off_scale=2.0, seed=7)
+
+    def loss(fn):
+        def f(x, off, mask, wgt):
+            return jnp.sum(jnp.cos(fn(x, off, mask, wgt)))
+        return f
+
+    fp = loss(lambda *a: dcn_conv_pallas_ad(*a, v_window=3, interpret=True))
+    fe = loss(lambda *a: modulated_deform_conv(*a, window=0))
+    gp = jax.grad(fp, argnums=(0, 1, 2, 3))(x, off, mask, wgt)
+    ge = jax.grad(fe, argnums=(0, 1, 2, 3))(x, off, mask, wgt)
+    for name, a, b in zip(["dx", "doffset", "dmask", "dweight"], gp, ge):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3, err_msg=name
+        )
+
+
 def test_supported_predicate():
     assert pallas_dcn_supported((1, 16, 32, 8), interpret=True)
     assert pallas_dcn_supported((1, 16, 32, 8))  # lane-packs w/ batch padding
