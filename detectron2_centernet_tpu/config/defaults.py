@@ -349,6 +349,10 @@ def _dataloader_defaults() -> CN:
     dl.FILTER_EMPTY_ANNOTATIONS = True
     # TPU addition: host-side prefetch depth for the async loader.
     dl.PREFETCH = 2
+    # TPU addition: run INPUT.COLOR_JITTER inside the jitted train step
+    # (ops/photometric.py) instead of the host mapper; the mapper then ships
+    # uint8 pixels.  ~5 ms/image of host work moves to free VPU cycles.
+    dl.DEVICE_PHOTOMETRIC = True
     return dl
 
 

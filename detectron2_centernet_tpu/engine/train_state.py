@@ -73,6 +73,12 @@ def make_train_step(
         # subsampling); folded from the step counter so resume reproduces it
         batch = dict(batch)
         batch["rng"] = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+        augment = getattr(meta_arch, "device_augment", None)
+        if augment is not None:
+            batch["image"] = augment(
+                batch["image"].astype(jnp.float32),
+                jax.random.fold_in(jax.random.PRNGKey(23), state.step),
+            )
 
         def loss(params):
             return meta_arch.loss_fn(params, state.batch_stats, batch)

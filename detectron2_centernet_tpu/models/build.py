@@ -17,4 +17,15 @@ def build_model(cfg: CfgNode):
         or cfg.MODEL.ROI_HEADS.NAME == "RROIHeads"
     ):
         meta_arch = "RotatedRCNN"
-    return META_ARCH_REGISTRY.get(meta_arch)(cfg)
+    model = META_ARCH_REGISTRY.get(meta_arch)(cfg)
+    # batch-level device-side train augmentation hook (applied by the train
+    # step before loss_fn; see ops/photometric.py for why it lives on device)
+    if (
+        getattr(model, "device_augment", None) is None
+        and cfg.INPUT.COLOR_JITTER
+        and cfg.DATALOADER.DEVICE_PHOTOMETRIC
+    ):
+        from ..ops.photometric import device_color_jitter
+
+        model.device_augment = device_color_jitter
+    return model
