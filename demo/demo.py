@@ -32,6 +32,9 @@ def get_parser():
     parser.add_argument("--config-file", metavar="FILE", required=True)
     parser.add_argument("--input", nargs="+", help="image file(s) or glob")
     parser.add_argument("--video-input", help="video file path")
+    parser.add_argument(
+        "--webcam", action="store_true", help="read frames from camera 0"
+    )
     parser.add_argument("--output", help="output dir or file")
     parser.add_argument("--confidence-threshold", type=float, default=0.5)
     parser.add_argument("opts", default=[], nargs=argparse.REMAINDER)
@@ -64,15 +67,22 @@ def main():
                     else args.output
                 )
                 vis.save(out)
-    elif args.video_input:
+    elif args.video_input or args.webcam:
         import cv2
 
-        video = cv2.VideoCapture(args.video_input)
+        video = cv2.VideoCapture(args.video_input if args.video_input else 0)
+
+        def frames():
+            while True:
+                ok, frame = video.read()
+                if not ok:
+                    break
+                yield frame
+
         writer = None
-        for ok, frame in iter(lambda: video.read(), (False, None)):
-            if not ok:
-                break
-            _, vis = demo.run_on_image(frame)
+        for _, vis in demo.run_on_video(frames()):
+            if vis is None:
+                continue
             if args.output:
                 if writer is None:
                     h, w = vis.get_image().shape[:2]
@@ -81,6 +91,11 @@ def main():
                         video.get(cv2.CAP_PROP_FPS) or 30, (w, h),
                     )
                 writer.write(vis.get_image()[:, :, ::-1])
+            else:
+                cv2.imshow("demo", vis.get_image()[:, :, ::-1])
+                if cv2.waitKey(1) == 27:  # ESC
+                    break
+        video.release()
         if writer is not None:
             writer.release()
 

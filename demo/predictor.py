@@ -16,7 +16,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from detectron2_centernet_tpu.data import MetadataCatalog
 from detectron2_centernet_tpu.engine import DefaultPredictor
-from detectron2_centernet_tpu.utils.visualizer import ColorMode, Visualizer
+from detectron2_centernet_tpu.utils.visualizer import (
+    ColorMode,
+    VideoVisualizer,
+    Visualizer,
+)
 
 
 class VisualizationDemo:
@@ -35,13 +39,34 @@ class VisualizationDemo:
         vis_output = None
         if "instances" in predictions:
             vis_output = visualizer.draw_instance_predictions(predictions["instances"])
+        elif "panoptic_seg" in predictions:
+            seg, info = predictions["panoptic_seg"]
+            vis_output = visualizer.draw_panoptic_seg(np.asarray(seg), info)
         elif "sem_seg" in predictions:
             vis_output = visualizer.draw_sem_seg(predictions["sem_seg"])
         return predictions, vis_output
 
     def run_on_video(self, video_frames):
+        """Frame generator -> (predictions, VisImage) generator with
+        cross-frame color consistency (reference demo/predictor.py:52-100)."""
+        video_vis = VideoVisualizer(self.metadata, self.instance_mode)
         for frame in video_frames:
-            yield self.run_on_image(frame)
+            predictions = self.predictor(frame)
+            rgb = frame[:, :, ::-1]
+            if "instances" in predictions:
+                vis = video_vis.draw_instance_predictions(
+                    rgb, predictions["instances"]
+                )
+            elif "panoptic_seg" in predictions:
+                seg, info = predictions["panoptic_seg"]
+                vis = video_vis.draw_panoptic_seg_predictions(
+                    rgb, np.asarray(seg), info
+                )
+            elif "sem_seg" in predictions:
+                vis = video_vis.draw_sem_seg(rgb, predictions["sem_seg"])
+            else:
+                vis = None
+            yield predictions, vis
 
 
 class BatchPredictor:

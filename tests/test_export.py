@@ -55,3 +55,46 @@ def test_parameter_count():
         lambda im: model.predict_fn(variables, im), jnp.zeros((1, 64, 64, 3))
     )
     assert flops is None or flops > 0
+
+
+def test_int8_weight_quantization_roundtrip_and_error():
+    """Weight-only int8 PTQ: round-trip shape/dtype integrity and a bounded
+    end-to-end output deviation (the TensorRT-int8-engine analog)."""
+    import jax
+    import numpy as np
+
+    from detectron2_centernet_tpu.export import (
+        dequantize_variables,
+        quantization_error,
+        quantize_variables,
+    )
+
+    model, variables = _tiny_centernet()
+    packed = quantize_variables(variables)
+    deq = dequantize_variables(packed)
+    # structure preserved
+    a = jax.tree_util.tree_structure(variables)
+    b = jax.tree_util.tree_structure(deq)
+    assert a == b
+    # at least one kernel actually quantized
+    leaves = jax.tree_util.tree_flatten_with_path(packed["tree"])[0]
+    n_q = sum(
+        1 for _, l in leaves
+        if isinstance(l, np.ndarray) and l.dtype == np.int8
+    )
+    assert n_q > 0
+    imgs = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32) * 255
+    err = quantization_error(model, variables, imgs)
+    assert err["output_max_rel_err"] < 0.08, err
+
+
+def test_activation_calibration():
+    import numpy as np
+
+    from detectron2_centernet_tpu.export import calibrate_activations
+
+    model, variables = _tiny_centernet()
+    imgs = np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32) * 255
+    ranges = calibrate_activations(model, variables, imgs)
+    assert len(ranges) > 5
+    assert all(v >= 0 for v in ranges.values())
