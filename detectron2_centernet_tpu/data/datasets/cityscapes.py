@@ -116,7 +116,7 @@ def register_cityscapes(root: str) -> None:
         )
         MetadataCatalog.get(inst_name).set(
             thing_classes=list(CITYSCAPES_THING_CLASSES),
-            evaluator_type="coco",
+            evaluator_type="cityscapes_instance",
             image_dir=image_dir,
             gt_dir=gt_dir,
         )
@@ -126,7 +126,7 @@ def register_cityscapes(root: str) -> None:
         )
         MetadataCatalog.get(sem_name).set(
             stuff_classes=list(CITYSCAPES_STUFF_CLASSES),
-            evaluator_type="sem_seg",
+            evaluator_type="cityscapes_sem_seg",
             ignore_label=255,
             image_dir=image_dir,
             gt_dir=gt_dir,

@@ -1,3 +1,7 @@
+from .cityscapes_evaluation import (
+    CityscapesInstanceEvaluator,
+    CityscapesSemSegEvaluator,
+)
 from .coco_evaluation import COCOEvaluator, instances_to_coco_json
 from .cocoeval_np import COCOEval
 from .evaluator import DatasetEvaluator, DatasetEvaluators, inference_on_dataset
@@ -9,6 +13,8 @@ from .sem_seg_evaluation import SemSegEvaluator
 from .testing import flatten_results_dict, print_csv_format, verify_results
 
 __all__ = [
+    "CityscapesInstanceEvaluator",
+    "CityscapesSemSegEvaluator",
     "COCOEval",
     "COCOEvaluator",
     "DatasetEvaluator",

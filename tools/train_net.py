@@ -29,6 +29,8 @@ class Trainer(DefaultTrainer):
     @classmethod
     def build_evaluator(cls, cfg, dataset_name, output_folder=None):
         from detectron2_centernet_tpu.evaluation import (
+            CityscapesInstanceEvaluator,
+            CityscapesSemSegEvaluator,
             DatasetEvaluators,
             LVISEvaluator,
             PascalVOCDetectionEvaluator,
@@ -47,6 +49,10 @@ class Trainer(DefaultTrainer):
             evaluators.append(LVISEvaluator(dataset_name, output_dir=output_folder))
         if evaluator_type == "pascal_voc":
             evaluators.append(PascalVOCDetectionEvaluator(dataset_name))
+        if evaluator_type == "cityscapes_instance":
+            evaluators.append(CityscapesInstanceEvaluator(dataset_name))
+        if evaluator_type == "cityscapes_sem_seg":
+            evaluators.append(CityscapesSemSegEvaluator(dataset_name))
         if not evaluators:
             raise NotImplementedError(
                 f"No evaluator implemented for evaluator_type '{evaluator_type}' "
