@@ -26,6 +26,9 @@ def load_lvis_json(json_file: str, image_root: str, dataset_name: Optional[str] 
         cats = sorted(lvis["categories"], key=lambda c: c["id"])
         # LVIS ids are already contiguous 1..C
         meta.thing_classes = [c.get("synonyms", [c.get("name", "")])[0] for c in cats]
+        # LVIS frequency buckets ('r'are / 'c'ommon / 'f'requent), used by the
+        # evaluator for APr/APc/APf
+        meta.class_frequencies = [c.get("frequency", "f") for c in cats]
         meta.json_file = json_file
         meta.image_root = image_root
 

@@ -87,8 +87,10 @@ class LVISEvaluator(DatasetEvaluator):
         gt_anns = []
         img_ids = []
         cat_ids = set()
+        allowed = {}  # LVIS federated rule: categories evaluated per image
         for d in dataset_dicts:
             img_ids.append(d["image_id"])
+            pos = set()
             for a in d["annotations"]:
                 gt_anns.append(
                     {
@@ -99,6 +101,18 @@ class LVISEvaluator(DatasetEvaluator):
                     }
                 )
                 cat_ids.add(a["category_id"] + 1)
+                pos.add(a["category_id"] + 1)
+            neg = {c for c in d.get("neg_category_ids", [])}
+            if pos or neg:
+                allowed[d["image_id"]] = pos | neg
+        # detections of categories neither annotated nor known-absent on an
+        # image are ignored, not false positives (LVIS federated protocol)
+        if allowed:
+            results = [
+                r
+                for r in results
+                if r["category_id"] in allowed.get(r["image_id"], set())
+            ]
 
         ev = _LVISEval(gt_anns, results, img_ids, sorted(cat_ids))
         ev.evaluate()
@@ -111,5 +125,28 @@ class LVISEvaluator(DatasetEvaluator):
             "APm": float(stats[4] * 100),
             "APl": float(stats[5] * 100),
         }
+        out.update(self._frequency_breakdown(ev, sorted(cat_ids)))
         logger.info("LVIS bbox results: %s", out)
         return OrderedDict({"bbox": out})
+
+    def _frequency_breakdown(self, ev, cat_ids) -> Dict[str, float]:
+        """APr / APc / APf over the LVIS rare/common/frequent buckets
+        (category ``frequency`` field captured by the dataset loader)."""
+        freqs = self._metadata.get("class_frequencies")
+        if not freqs or ev.eval is None:
+            return {}
+        # precision: (T, R, K, A, M); K follows cat_ids order
+        prec = ev.eval["precision"][:, :, :, 0, -1]
+        out = {}
+        for key, bucket in (("APr", "r"), ("APc", "c"), ("APf", "f")):
+            sel = [
+                k
+                for k, cid in enumerate(cat_ids)
+                if 0 <= cid - 1 < len(freqs) and freqs[cid - 1] == bucket
+            ]
+            if not sel:
+                continue
+            s = prec[:, :, sel]
+            valid = s[s > -1]
+            out[key] = float(valid.mean() * 100) if valid.size else float("nan")
+        return out
