@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""TridentNet training CLI (reference projects/TridentNet/train_net.py).
+
+The TridentNet capability (weight-shared dilated res4 branches, TridentRCNN
+meta-arch) lives in the main package; this CLI exists for reference-project
+parity."""
+
+from detectron2_centernet_tpu.config import get_cfg
+from detectron2_centernet_tpu.engine import (
+    DefaultTrainer,
+    default_argument_parser,
+    default_setup,
+    launch,
+)
+from detectron2_centernet_tpu.evaluation import COCOEvaluator
+
+
+class Trainer(DefaultTrainer):
+    @classmethod
+    def build_evaluator(cls, cfg, dataset_name):
+        return COCOEvaluator(dataset_name, output_dir=cfg.OUTPUT_DIR)
+
+
+def setup(args):
+    cfg = get_cfg()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    cfg.merge_from_list(args.opts)
+    cfg.freeze()
+    default_setup(cfg, args)
+    return cfg
+
+
+def main(args):
+    cfg = setup(args)
+    trainer = Trainer(cfg)
+    trainer.resume_or_load(resume=args.resume)
+    if args.eval_only:
+        return Trainer.test(cfg, trainer.state)
+    return trainer.train()
+
+
+if __name__ == "__main__":
+    args = default_argument_parser().parse_args()
+    launch(main, args.num_gpus, args=(args,))

@@ -70,6 +70,14 @@ def setup(args):
     cfg.merge_from_list(args.opts)
     cfg.freeze()
     default_setup(cfg, args)
+    if os.environ.get("DETECTRON2_SYNTH_DATA"):
+        # dataset-free acceptance runs (dev/run_instant_tests.sh on CI/TPU
+        # pods without COCO): replace missing datasets with synthetic scenes
+        from detectron2_centernet_tpu.data.datasets.synthetic import (
+            ensure_synthetic_datasets,
+        )
+
+        ensure_synthetic_datasets(tuple(cfg.DATASETS.TRAIN) + tuple(cfg.DATASETS.TEST))
     return cfg
 
 
