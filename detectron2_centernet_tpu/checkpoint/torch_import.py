@@ -83,41 +83,91 @@ _TOKEN_SYNONYMS = {
     "kernel": "weight",
     "scale": "weight",
     "running": "",
+    # both sides name norm layers inconsistently ("bn" submodule inside a
+    # "*_norm" wrapper here; "norm"/"bn" in torch) — unify and collapse
+    "bn": "norm",
 }
 
 
-def _name_tokens(name: str) -> set:
+def _token_seq(name: str) -> List[str]:
+    """Ordered token sequence for suffix matching: split on separators AND
+    letter/digit boundaries (so flax "block1" aligns with a torch
+    Sequential index "1"), synonyms applied."""
     import re
 
-    raw = set(re.split(r"[./_\[\]]+", name.lower())) - {""}
-    return {_TOKEN_SYNONYMS.get(t, t) for t in raw} - {""}
+    raw = re.findall(r"[a-z]+|\d+", name.lower())
+    out = []
+    for t in raw:
+        t = _TOKEN_SYNONYMS.get(t, t)
+        if t and (not out or out[-1] != t or t.isdigit()):
+            out.append(t)
+    return out
+
+
+def _suffix_len(a: List[str], b: List[str]) -> int:
+    n = 0
+    while n < len(a) and n < len(b) and a[-1 - n] == b[-1 - n]:
+        n += 1
+    return n
 
 
 def align_state_dicts(
     torch_sd: Dict[str, np.ndarray], flax_leaves: List[Tuple[str, np.ndarray]]
 ) -> Dict[str, np.ndarray]:
-    """Greedy shape+name alignment: returns {flax_path: converted array}."""
+    """Shape-checked longest-suffix alignment, one-to-one, with a logged
+    match table (reference ``align_and_update_state_dicts``,
+    c2_model_loading.py:211-313).
+
+    Score for a (flax, torch) pair with equal shapes = length of the common
+    token suffix of their normalized names, with the shared token count and
+    same relative position as deterministic tiebreaks; pairs are taken
+    best-score first, each torch weight used once.
+    """
     torch_items = [
-        (k, convert_torch_tensor(k, v))
+        (k, convert_torch_tensor(k, v), _token_seq(k))
         for k, v in torch_sd.items()
         if not k.endswith(_SKIP_SUFFIXES)
     ]
-    used = [False] * len(torch_items)
+    fl = [(fname, farr, _token_seq(fname)) for fname, farr in flax_leaves]
+
+    pairs = []  # (-suffix, -overlap, pos_dist, fi, ti)
+    for fi, (fname, farr, fseq) in enumerate(fl):
+        for ti, (tname, tarr, tseq) in enumerate(torch_items):
+            if tarr.shape != farr.shape:
+                continue
+            suf = _suffix_len(fseq, tseq)
+            overlap = len(set(fseq) & set(tseq))
+            pos = abs(fi / max(len(fl), 1) - ti / max(len(torch_items), 1))
+            pairs.append((-suf, -overlap, pos, fi, ti))
+    pairs.sort()
+
+    used_t = [False] * len(torch_items)
+    used_f = [False] * len(fl)
     result: Dict[str, np.ndarray] = {}
-    for fname, farr in flax_leaves:
-        candidates = [
-            i for i, (tn, ta) in enumerate(torch_items) if not used[i] and ta.shape == farr.shape
-        ]
-        if not candidates:
-            logger.warning("No torch weight matches %s %s", fname, farr.shape)
+    table = []
+    for nsuf, _, _, fi, ti in pairs:
+        if used_f[fi] or used_t[ti]:
             continue
-        ftok = _name_tokens(fname)
-        best = max(candidates, key=lambda i: len(ftok & _name_tokens(torch_items[i][0])))
-        used[best] = True
-        result[fname] = torch_items[best][1]
-    for i, (tn, _) in enumerate(torch_items):
-        if not used[i]:
+        used_f[fi] = used_t[ti] = True
+        fname, farr, _ = fl[fi]
+        tname, tarr, _ = torch_items[ti]
+        result[fname] = tarr
+        table.append((fname, tname, farr.shape, -nsuf))
+    for fname, farr, _ in fl:
+        if fname not in result:
+            logger.warning("No torch weight matches %s %s", fname, farr.shape)
+    for ti, (tn, _, _) in enumerate(torch_items):
+        if not used_t[ti]:
             logger.info("Torch weight %s unused", tn)
+    if table:
+        width = max(len(f) for f, *_ in table)
+        logger.info(
+            "weight match table:\n%s",
+            "\n".join(
+                f"  {f:<{width}} <- {t}  {tuple(s)} (suffix {n})"
+                for f, t, s, n in table
+            ),
+        )
     logger.info("Aligned %d/%d flax leaves from torch checkpoint", len(result), len(flax_leaves))
     return result
 
