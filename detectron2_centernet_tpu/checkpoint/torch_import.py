@@ -122,13 +122,49 @@ def align_state_dicts(
     token suffix of their normalized names, with the shared token count and
     same relative position as deterministic tiebreaks; pairs are taken
     best-score first, each torch weight used once.
+
+    DLA-family state dicts (the fork's ctdet checkpoints) first go through
+    the exact deterministic name map in ``dla_import`` — their torch naming
+    (bn1/Sequential indices/DCNv2 wrappers) leaves same-shaped tree blocks
+    ambiguous to any fuzzy matcher.
     """
+    from .dla_import import looks_like_dla, map_dla_state_dict
+
+    result: Dict[str, np.ndarray] = {}
+    used_torch_keys = set()
+    if looks_like_dla(torch_sd):
+        canon = map_dla_state_dict(torch_sd)
+        flax_by_name = dict(flax_leaves)
+        for ck, (tk, tv) in canon.items():
+            coll, body = ck.split("/", 1)
+            cands = [
+                fn
+                for fn in flax_by_name
+                if fn == ck
+                or (fn.startswith(coll + "/") and fn.endswith("/" + body))
+            ]
+            if len(cands) != 1:
+                continue
+            arr = convert_torch_tensor(tk, tv)
+            if arr.shape == flax_by_name[cands[0]].shape:
+                result[cands[0]] = arr
+                used_torch_keys.add(tk)
+        if result:
+            logger.info(
+                "deterministic DLA name map matched %d/%d leaves",
+                len(result), len(flax_leaves),
+            )
+
     torch_items = [
         (k, convert_torch_tensor(k, v), _token_seq(k))
         for k, v in torch_sd.items()
-        if not k.endswith(_SKIP_SUFFIXES)
+        if not k.endswith(_SKIP_SUFFIXES) and k not in used_torch_keys
     ]
-    fl = [(fname, farr, _token_seq(fname)) for fname, farr in flax_leaves]
+    fl = [
+        (fname, farr, _token_seq(fname))
+        for fname, farr in flax_leaves
+        if fname not in result
+    ]
 
     pairs = []  # (-suffix, -overlap, pos_dist, fi, ti)
     for fi, (fname, farr, fseq) in enumerate(fl):
@@ -143,7 +179,6 @@ def align_state_dicts(
 
     used_t = [False] * len(torch_items)
     used_f = [False] * len(fl)
-    result: Dict[str, np.ndarray] = {}
     table = []
     for nsuf, _, _, fi, ti in pairs:
         if used_f[fi] or used_t[ti]:

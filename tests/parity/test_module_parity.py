@@ -268,3 +268,70 @@ def test_frozen_bn_parity(ref):
     variables = _transfer(t, variables)
     y = m.apply(variables, xj)
     np.testing.assert_allclose(np.asarray(y), to_nhwc(y_ref), atol=1e-5)
+
+
+def test_dla_trunk_parity(ref):
+    """The fork's own DLA trunk (dla.py:206-268) vs our DLATrunk, weights
+    imported through the deterministic DLA name map — all 6 level outputs
+    must match (the mAP-import path for ctdet checkpoints)."""
+    import importlib
+
+    torch = ref.torch
+    dla = importlib.import_module("detectron2.modeling.backbone.dla")
+    from detectron2_centernet_tpu.models.backbones.dla import DLATrunk
+
+    levels = [1, 1, 1, 2, 2, 1]  # the DLA-34 level layout
+    channels = [4, 8, 8, 16, 16, 16]
+    t = dla.DLA(levels, channels, block=dla.DLABasicBlock)
+    seed_torch_module(t)
+    t.eval()
+    x = torch.randn(2, 3, 64, 64, generator=torch.Generator().manual_seed(5))
+    with torch.no_grad():
+        y_ref = t(x)
+
+    m = DLATrunk(levels, channels)
+    xj = jnp.asarray(to_nhwc(x))
+    variables = m.init(jax.random.PRNGKey(0), xj)
+    variables = _transfer(t, variables)
+    ys = m.apply(variables, xj)
+    for i, (a, b) in enumerate(zip(ys, y_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), to_nhwc(b), atol=5e-4, err_msg=f"level{i}"
+        )
+
+
+def test_dla_canonical_name_map():
+    """Fork DLASeg naming (DCNv2 wrappers, head towers, Sequential stems)
+    maps deterministically onto our flax paths."""
+    from detectron2_centernet_tpu.checkpoint.dla_import import canonical_dla_key
+
+    cases = {
+        "base.base_layer.0.weight": "params/base/base_layer/conv/kernel",
+        "base.base_layer.1.running_mean": "batch_stats/base/base_layer/bn/mean",
+        "base.level0.0.weight": "params/base/level0_conv0/conv/kernel",
+        "base.level1.4.bias": "params/base/level1_conv1/bn/bias",
+        "base.level2.tree1.conv1.weight":
+            "params/base/level2/tree1/conv1/conv/kernel",
+        "base.level2.tree1.bn2.weight":
+            "params/base/level2/tree1/conv2/bn/scale",
+        "base.level3.tree2.root.conv.weight":
+            "params/base/level3/tree2/root/conv/conv/kernel",
+        "base.level2.project.1.running_var":
+            "batch_stats/base/level2/project/bn/var",
+        "dla_up.ida_0.proj_1.conv.weight":
+            "params/dla_up/ida_0/proj_1/kernel",
+        "dla_up.ida_0.proj_1.conv.conv_offset_mask.weight":
+            "params/dla_up/ida_0/proj_1/conv_offset_mask/kernel",
+        "dla_up.ida_0.node_1.actf.0.weight":
+            "params/dla_up/ida_0/node_1/bn/scale",
+        "dla_up.ida_0.node_1.actf.0.running_var":
+            "batch_stats/dla_up/ida_0/node_1/bn/var",
+        "ida_up.up_2.weight": "params/ida_up/up_2/kernel",
+        "hm.0.weight": "params/heads/hm_tower/kernel",
+        "hm.2.bias": "params/heads/hm_out/bias",
+        "wh.2.weight": "params/heads/wh_out/kernel",
+        "base.fc.weight": None,  # ImageNet classifier: no counterpart
+        "base.level2.tree1.bn1.num_batches_tracked": None,
+    }
+    for torch_key, expect in cases.items():
+        assert canonical_dla_key(torch_key) == expect, torch_key
