@@ -13,9 +13,10 @@ asks for >=2x an A100's img/s/chip; an A100 runs this model at roughly
 Knobs (env vars, for perf sweeps):
     BENCH_DCN_IMPL      auto|exact|window|pallas   (default auto)
     BENCH_DCN_WINDOW    int, XLA window-path clamp (default 4 when impl=window)
-    BENCH_DCN_V_WINDOW  int, pallas vertical coverage (default 4)
-    BENCH_BATCH         int (default 32)
-    BENCH_TRAIN         1 -> also measure the jitted train step
+    BENCH_DCN_V_WINDOW  int, pallas vertical coverage (default 3)
+    BENCH_BATCH         int (default 64)
+    BENCH_TRAIN         0 -> skip the train-step metric (default on, B=8)
+    BENCH_LOADER        0 -> skip the input-pipeline metric (default on)
 """
 
 import json
@@ -37,7 +38,7 @@ def main() -> None:
     from detectron2_centernet_tpu.config import get_cfg
     from detectron2_centernet_tpu.models import build_model
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     impl = os.environ.get("BENCH_DCN_IMPL", "auto")
 
     cfg = get_cfg()

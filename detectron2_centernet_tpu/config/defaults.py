@@ -427,6 +427,10 @@ def _tpu_defaults() -> CN:
     # Pallas kernel vertical offset coverage (|dy| <= V exact, farther
     # samples drop to zero; horizontal offsets are always exact).
     t.DCN_V_WINDOW = 3
+    # candidate selection in ctdet decode via the TPU's hardware PartialReduce
+    # (jax.lax.approx_max_k, recall 0.99) instead of the exact sort -- ~4x
+    # faster on production shapes; set False for bit-exact reference decode
+    t.APPROX_TOPK = True
     return t
 
 

@@ -108,15 +108,20 @@ class DeformConvV2(nn.Module):
                 self.window,
             )
         cin = x.shape[-1]
+        # compute dtype follows the model (bf16 offsets quantize at ~0.03 px
+        # for |offset|<=8 — far below sampling noise); the COORDINATE math
+        # (x' + offset) happens in f32 inside the DCN ops, where bf16 would
+        # cost whole pixels at x'~128
         om = nn.Conv(
             27,
             (3, 3),
             padding="SAME",
             kernel_init=_dcn_offset_mask_init,
             bias_init=nn.initializers.zeros,
-            dtype=jnp.float32,  # offsets stay f32: sub-pixel positions
+            dtype=self.dtype,
             name="conv_offset_mask",
-        )(x.astype(jnp.float32))
+        )(x)
+        om = om.astype(jnp.float32)
         offset, mask_logit = om[..., :18], om[..., 18:]
         mask = jax.nn.sigmoid(mask_logit)
 

@@ -207,6 +207,7 @@ class CenterNet:
         self.off_weight = float(c.OFF_WEIGHT)
         self.alpha = _resolve_alpha(c.FOCAL_LOSS_ALPHA, self.num_classes)
         self.size_divisibility = int(c.SIZE_DIVISIBILITY)
+        self.approx_topk = bool(cfg.TPU.APPROX_TOPK)
 
         self.pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
         self.pixel_std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
@@ -298,6 +299,7 @@ class CenterNet:
             # the peak-suppression + top-k sweep is HBM-bound; run it at the
             # model's compute width (box/score gathers stay f32)
             score_dtype=self.dtype if self.dtype != jnp.float32 else None,
+            approx=self.approx_topk,
         )
         return {"boxes": boxes, "scores": scores, "classes": classes}
 

@@ -35,7 +35,9 @@ def heat_nms(hm: jnp.ndarray, kernel: int = 3) -> jnp.ndarray:
     return jnp.where(hmax == hm, hm, jnp.zeros_like(hm))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "down_ratio", "score_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "down_ratio", "score_dtype", "approx")
+)
 def ctdet_decode(
     hm: jnp.ndarray,  # (N, H, W, C) sigmoided+clamped heatmap
     wh: jnp.ndarray,  # (N, H, W, 2)
@@ -43,6 +45,7 @@ def ctdet_decode(
     k: int = 100,
     down_ratio: int = 4,
     score_dtype=None,
+    approx: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode top-k detections per image.
 
@@ -54,6 +57,11 @@ def ctdet_decode(
     the 512^2/B=32 production shape and decode is HBM-bound); scores lose
     ~3 decimal digits, which can permute near-equal candidates but leaves
     box coordinates (always gathered/computed in f32) untouched.
+
+    ``approx=True`` selects candidates with ``jax.lax.approx_max_k``
+    (recall_target 0.99) — the TPU's hardware PartialReduce, ~4x faster
+    than the exact sort on production shapes. With k=100 out of 1.3M
+    suppressed peaks the missed mass sits at the score-threshold floor.
     """
     n, h, w, c = hm.shape
     if score_dtype is not None:
@@ -64,7 +72,10 @@ def ctdet_decode(
     # reference's NCHW flattening, so tie-breaking picks the same elements.
     flat = jnp.transpose(heat, (0, 3, 1, 2)).reshape(n, c * h * w)
 
-    scores, inds = jax.lax.top_k(flat, k)  # (N, K)
+    if approx:
+        scores, inds = jax.lax.approx_max_k(flat, k, recall_target=0.99)
+    else:
+        scores, inds = jax.lax.top_k(flat, k)  # (N, K)
     scores = scores.astype(jnp.float32)
     classes = (inds // (h * w)).astype(jnp.int32)
     pix = inds % (h * w)  # (N, K) flattened y*w + x

@@ -59,3 +59,29 @@ def test_decode_shapes_static():
     assert boxes.shape == (3, 100, 4)
     assert scores.shape == (3, 100)
     assert classes.shape == (3, 100)
+
+
+def test_approx_topk_recovers_distinct_peaks():
+    """approx_max_k candidate selection must find well-separated peaks
+    (the TPU PartialReduce path used when TPU.APPROX_TOPK is on)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from detectron2_centernet_tpu.ops.decode import ctdet_decode
+
+    rng = np.random.RandomState(0)
+    hm = rng.rand(2, 32, 32, 5).astype(np.float32) * 0.05
+    peaks = [(4, 7, 1), (20, 25, 3), (9, 28, 0)]
+    for y, x, c in peaks:
+        hm[:, y, x, c] = 0.9
+    wh = np.full((2, 32, 32, 2), 4.0, np.float32)
+    reg = np.zeros((2, 32, 32, 2), np.float32)
+    boxes, scores, classes = ctdet_decode(
+        jnp.asarray(hm), jnp.asarray(wh), jnp.asarray(reg), k=10, approx=True
+    )
+    top = set()
+    for i in range(3):
+        cx = (boxes[0, i, 0] + boxes[0, i, 2]) / 2 / 4
+        cy = (boxes[0, i, 1] + boxes[0, i, 3]) / 2 / 4
+        top.add((int(round(float(cy))), int(round(float(cx))), int(classes[0, i])))
+    assert top == set(peaks), top
