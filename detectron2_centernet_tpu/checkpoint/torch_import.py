@@ -11,10 +11,12 @@ Layout conversions:
   * linear weight (O,I) -> (I,O)
   * BatchNorm weight/bias/running_mean/running_var -> scale/bias + mean/var
 
-Alignment strategy: flatten both sides into ordered (path, array) lists and
-match greedily by shape with a name-similarity tiebreak, logging everything
-unmatched — the same observable behavior as the reference's shape-checked
-longest-suffix matching.
+Alignment strategy: DLA-family checkpoints match through the exact
+deterministic name map (``dla_import``); everything else through
+shape-checked longest-common-token-suffix matching (letter/digit boundary
+tokens, norm-wrapper normalization, densely renumbered Sequential indices),
+one-to-one with a logged match table — the reference's
+``align_and_update_state_dicts`` behavior.
 """
 
 import logging
@@ -104,6 +106,35 @@ def _token_seq(name: str) -> List[str]:
     return out
 
 
+def _renumber_sequential(keys: List[str]) -> Dict[str, str]:
+    """Map each torch key to a variant where pure-numeric path segments are
+    densely renumbered per parent (Sequential indices skip parameterless
+    layers like ReLU, so ``subnet.{0,2,4}`` becomes ``subnet.{0,1,2}``)."""
+    from collections import defaultdict
+
+    children = defaultdict(set)
+    for k in keys:
+        parts = k.split(".")
+        for i, p in enumerate(parts):
+            if p.isdigit():
+                children[".".join(parts[:i])].add(int(p))
+    rank = {
+        parent: {v: r for r, v in enumerate(sorted(vals))}
+        for parent, vals in children.items()
+    }
+    out = {}
+    for k in keys:
+        parts = k.split(".")
+        new = []
+        for i, p in enumerate(parts):
+            if p.isdigit():
+                new.append(str(rank[".".join(parts[:i])][int(p)]))
+            else:
+                new.append(p)
+        out[k] = ".".join(new)
+    return out
+
+
 def _suffix_len(a: List[str], b: List[str]) -> int:
     n = 0
     while n < len(a) and n < len(b) and a[-1 - n] == b[-1 - n]:
@@ -155,10 +186,15 @@ def align_state_dicts(
                 len(result), len(flax_leaves),
             )
 
-    torch_items = [
-        (k, convert_torch_tensor(k, v), _token_seq(k))
+    remaining = {
+        k: v
         for k, v in torch_sd.items()
         if not k.endswith(_SKIP_SUFFIXES) and k not in used_torch_keys
+    }
+    renumbered = _renumber_sequential(list(remaining))
+    torch_items = [
+        (k, convert_torch_tensor(k, v), _token_seq(k), _token_seq(renumbered[k]))
+        for k, v in remaining.items()
     ]
     fl = [
         (fname, farr, _token_seq(fname))
@@ -168,30 +204,35 @@ def align_state_dicts(
 
     pairs = []  # (-suffix, -overlap, pos_dist, fi, ti)
     for fi, (fname, farr, fseq) in enumerate(fl):
-        for ti, (tname, tarr, tseq) in enumerate(torch_items):
+        for ti, (tname, tarr, tseq, tseq_rn) in enumerate(torch_items):
             if tarr.shape != farr.shape:
                 continue
-            suf = _suffix_len(fseq, tseq)
+            # torch Sequential indices skip parameterless layers (ReLU
+            # interleaving): subnet.{0,2,4,6} means layers {0,1,2,3}.  The
+            # densely renumbered indices are the structural truth, so they
+            # are the primary score; literal indices only break ties.
+            suf = _suffix_len(fseq, tseq_rn)
+            suf_raw = _suffix_len(fseq, tseq)
             overlap = len(set(fseq) & set(tseq))
             pos = abs(fi / max(len(fl), 1) - ti / max(len(torch_items), 1))
-            pairs.append((-suf, -overlap, pos, fi, ti))
+            pairs.append((-suf, -suf_raw, -overlap, pos, fi, ti))
     pairs.sort()
 
     used_t = [False] * len(torch_items)
     used_f = [False] * len(fl)
     table = []
-    for nsuf, _, _, fi, ti in pairs:
+    for nsuf, _, _, _, fi, ti in pairs:
         if used_f[fi] or used_t[ti]:
             continue
         used_f[fi] = used_t[ti] = True
         fname, farr, _ = fl[fi]
-        tname, tarr, _ = torch_items[ti]
+        tname, tarr, _, _ = torch_items[ti]
         result[fname] = tarr
         table.append((fname, tname, farr.shape, -nsuf))
     for fname, farr, _ in fl:
         if fname not in result:
             logger.warning("No torch weight matches %s %s", fname, farr.shape)
-    for ti, (tn, _, _) in enumerate(torch_items):
+    for ti, (tn, _, _, _) in enumerate(torch_items):
         if not used_t[ti]:
             logger.info("Torch weight %s unused", tn)
     if table:

@@ -335,3 +335,57 @@ def test_dla_canonical_name_map():
     }
     for torch_key, expect in cases.items():
         assert canonical_dla_key(torch_key) == expect, torch_key
+
+
+def test_retinanet_head_parity(ref):
+    """RetinaNet head numerics: a torch twin built exactly per the
+    reference's definition (retinanet.py:405-489 — 4-conv cls/box towers
+    with interleaved ReLU, shared across levels, 3x3 predictors) must match
+    our shared-tower flax head after aligner transfer."""
+    torch = ref.torch
+    from detectron2_centernet_tpu.models.meta_arch.retinanet import RetinaNetHead
+
+    num_classes, num_anchors, num_convs, ch = 5, 3, 4, 16
+
+    class TorchHead(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            cls_subnet, bbox_subnet = [], []
+            for _ in range(num_convs):
+                cls_subnet += [torch.nn.Conv2d(ch, ch, 3, 1, 1), torch.nn.ReLU()]
+                bbox_subnet += [torch.nn.Conv2d(ch, ch, 3, 1, 1), torch.nn.ReLU()]
+            self.cls_subnet = torch.nn.Sequential(*cls_subnet)
+            self.bbox_subnet = torch.nn.Sequential(*bbox_subnet)
+            self.cls_score = torch.nn.Conv2d(ch, num_anchors * num_classes, 3, 1, 1)
+            self.bbox_pred = torch.nn.Conv2d(ch, num_anchors * 4, 3, 1, 1)
+
+        def forward(self, feats):
+            logits = [self.cls_score(self.cls_subnet(f)) for f in feats]
+            deltas = [self.bbox_pred(self.bbox_subnet(f)) for f in feats]
+            return logits, deltas
+
+    t = TorchHead()
+    seed_torch_module(t)
+    t.eval()
+    g = torch.Generator().manual_seed(6)
+    feats = [torch.randn(1, ch, s, s, generator=g) for s in (16, 8, 4)]
+    with torch.no_grad():
+        logits_ref, deltas_ref = t(feats)
+
+    m = RetinaNetHead(
+        num_classes=num_classes, num_anchors=num_anchors,
+        num_convs=num_convs, channels=ch,
+    )
+    feats_j = [jnp.asarray(to_nhwc(f)) for f in feats]
+    variables = m.init(jax.random.PRNGKey(0), feats_j)
+    variables = _transfer(t, variables)
+    logits, deltas = m.apply(variables, feats_j)
+    for lvl in range(3):
+        np.testing.assert_allclose(
+            np.asarray(logits[lvl]), to_nhwc(logits_ref[lvl]), atol=ATOL,
+            err_msg=f"logits l{lvl}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(deltas[lvl]), to_nhwc(deltas_ref[lvl]), atol=ATOL,
+            err_msg=f"deltas l{lvl}",
+        )
