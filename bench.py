@@ -86,7 +86,7 @@ def main() -> None:
         signal.alarm(int(os.environ.get("BENCH_TRAIN_TIMEOUT", "480")))
         try:
             extra["train_img_s"] = _bench_train(
-                cfg, model, int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
+                cfg, model, int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
             )
         except Exception as e:  # noqa: BLE001
             extra["train_img_s"] = None

@@ -31,7 +31,9 @@ from ..registry import BACKBONE_REGISTRY
 # the dominant training-memory cost (the blocked-window path materializes
 # (H*W, K, Wp) weight tensors); recomputing them in backward trades ~30%
 # extra FLOPs on these ops for an order of magnitude less live memory.
-DeformConvV2R = _nn.remat(DeformConvV2, static_argnums=(2,))
+DeformConvV2R = DeformConvV2  # remat dropped: the Pallas custom-VJP stores only
+# small residuals (x, offset, mask, weight), so recomputing the forward in
+# backward (what remat did for the memory-hungry window path) is pure overhead
 
 
 class DLABasicBlock(nn.Module):
