@@ -214,6 +214,12 @@ def align_state_dicts(
             suf = _suffix_len(fseq, tseq_rn)
             suf_raw = _suffix_len(fseq, tseq)
             overlap = len(set(fseq) & set(tseq))
+            if suf == 0 and suf_raw == 0 and overlap == 0:
+                # no name similarity at all: shape + position alone must not
+                # wire unrelated tensors together (the reference
+                # align_and_update_state_dicts leaves these unmatched and
+                # warns; the warning happens in the unmatched loop below)
+                continue
             pos = abs(fi / max(len(fl), 1) - ti / max(len(torch_items), 1))
             pairs.append((-suf, -suf_raw, -overlap, pos, fi, ti))
     pairs.sort()

@@ -11,9 +11,12 @@ two protocols:
     AP50 also reported);
   * predictions ranked by confidence, greedy one-to-one matching per gt;
   * gt regions smaller than ``min_region_size`` (official default 100 px)
-    ignored;
-  * predictions mostly covered by crowd ("group") or ignored regions do
-    not count as false positives (void-overlap rule);
+    are not matchable but become *ignore* regions — a prediction covering
+    one is absorbed, not a false positive;
+  * the per-class ignore set = same-class crowd ("group") regions plus
+    sub-min-size same-class gt; unmatched predictions whose ignore-overlap
+    fraction exceeds the overlap threshold are skipped (void-overlap rule,
+    per ``evalInstanceLevelSemanticLabeling`` semantics);
   * AP from the all-point interpolated precision/recall curve.
 
 ``CityscapesSemSegEvaluator`` — pixel-level IoU over train classes with
@@ -83,7 +86,7 @@ class CityscapesInstanceEvaluator(DatasetEvaluator):
                     else polygons_to_bitmask(seg, h, w)
                 )
                 if a.get("iscrowd", 0):
-                    crowd_masks.append(mask)
+                    crowd_masks.append((int(a["category_id"]), mask))
                 else:
                     gts.append((int(a["category_id"]), mask))
             preds = []
@@ -101,12 +104,9 @@ class CityscapesInstanceEvaluator(DatasetEvaluator):
                             masks[i].astype(bool),
                         )
                     )
-            crowd = (
-                np.any(np.stack(crowd_masks), axis=0)
-                if crowd_masks
-                else None
+            self._images.append(
+                {"preds": preds, "gts": gts, "crowd": crowd_masks}
             )
-            self._images.append({"preds": preds, "gts": gts, "crowd": crowd})
 
     @staticmethod
     def _ap_from_curve(tp_flags: np.ndarray, scores: np.ndarray, n_gt: int) -> float:
@@ -145,9 +145,21 @@ class CityscapesInstanceEvaluator(DatasetEvaluator):
             for oi, thr in enumerate(_OVERLAPS):
                 flags, scores, n_gt = [], [], 0
                 for im in images:
-                    gts = [m for cls, m in im["gts"] if cls == c]
-                    gts = [m for m in gts if m.sum() >= self._min_region]
+                    cls_gts = [m for cls, m in im["gts"] if cls == c]
+                    gts = [m for m in cls_gts if m.sum() >= self._min_region]
                     n_gt += len(gts)
+                    # ignore set for class c: same-class crowd ("group")
+                    # regions + same-class gt under the min region size
+                    # (official evalInstanceLevelSemanticLabeling: a
+                    # prediction mostly over these is absorbed, not an FP)
+                    ignore_masks = [
+                        m for cls, m in im["crowd"] if cls == c
+                    ] + [m for m in cls_gts if m.sum() < self._min_region]
+                    ignore = (
+                        np.any(np.stack(ignore_masks), axis=0)
+                        if ignore_masks
+                        else None
+                    )
                     preds = sorted(
                         [p for p in im["preds"] if p[0] == c],
                         key=lambda p: -p[1],
@@ -171,10 +183,10 @@ class CityscapesInstanceEvaluator(DatasetEvaluator):
                             flags.append(1.0)
                             scores.append(score)
                         else:
-                            # void rule: predictions mostly inside crowd /
-                            # ignore regions are not false positives
-                            if im["crowd"] is not None:
-                                void = np.logical_and(pm, im["crowd"]).sum()
+                            # void rule: unmatched predictions mostly inside
+                            # the class ignore set are not false positives
+                            if ignore is not None:
+                                void = np.logical_and(pm, ignore).sum()
                                 if void / area > thr:
                                     continue
                             flags.append(0.0)
@@ -182,14 +194,17 @@ class CityscapesInstanceEvaluator(DatasetEvaluator):
                 ap_per_cls[c, oi] = self._ap_from_curve(
                     np.asarray(flags), np.asarray(scores), n_gt
                 )
-        with np.errstate(invalid="ignore"):
-            ap = float(np.nanmean(ap_per_cls)) * 100.0
-            ap50 = float(np.nanmean(ap_per_cls[:, 0])) * 100.0
+        def _nanmean(a: np.ndarray) -> float:
+            vals = a[np.isfinite(a)]
+            return float(vals.mean()) if vals.size else float("nan")
+
+        ap = _nanmean(ap_per_cls) * 100.0
+        ap50 = _nanmean(ap_per_cls[:, 0]) * 100.0
         res = OrderedDict(
             {"segm": {"AP": ap, "AP50": ap50}}
         )
         for c, name in enumerate(classes):
-            res["segm"][f"AP-{name}"] = float(np.nanmean(ap_per_cls[c])) * 100.0
+            res["segm"][f"AP-{name}"] = _nanmean(ap_per_cls[c]) * 100.0
         logger.info("Cityscapes instance AP: %.2f  AP50: %.2f", ap, ap50)
         return res
 

@@ -117,6 +117,45 @@ def test_min_region_size_ignored():
     assert np.isnan(res["segm"]["AP"])  # no valid gt anywhere
 
 
+def test_small_gt_absorbs_prediction():
+    """A pred over a sub-min-size gt is ignored, not a false positive."""
+    _meta("cs_test_small_absorb")
+    h = w = 64
+    big = (5, 37, 5, 37)
+    tiny = (40, 48, 40, 48)  # 64 px < 100: unmatchable but an ignore region
+    inputs = [{"image_id": "im0",
+               "annotations": [_gt_ann(0, big, h, w), _gt_ann(0, tiny, h, w)]}]
+    outputs = [{
+        "instances": _inst(h, w, [(0, 0.9, big), (0, 0.8, tiny)])
+    }]
+    ev = CityscapesInstanceEvaluator("cs_test_small_absorb")
+    ev.process(inputs, outputs)
+    res = ev.evaluate()
+    # with the tiny detection absorbed the curve is perfect
+    assert abs(res["segm"]["AP"] - 100.0) < 1e-6
+
+
+def test_crowd_absorption_is_class_restricted():
+    """A pred inside an *other-class* crowd region still counts as FP."""
+    _meta("cs_test_crowd_cls")
+    h = w = 64
+    gt = (5, 37, 5, 37)
+    crowd = (40, 64, 40, 64)
+    inputs = [{
+        "image_id": "im0",
+        "annotations": [_gt_ann(0, gt, h, w),
+                        _gt_ann(1, crowd, h, w, iscrowd=1)],  # class 1 crowd
+    }]
+    # class-0 pred inside the class-1 crowd: NOT absorbed -> FP
+    outputs = [{
+        "instances": _inst(h, w, [(0, 0.9, gt), (0, 0.95, (42, 62, 42, 62))])
+    }]
+    ev = CityscapesInstanceEvaluator("cs_test_crowd_cls")
+    ev.process(inputs, outputs)
+    res = ev.evaluate()
+    assert res["segm"]["AP50"] < 100.0 - 1e-6
+
+
 def test_sem_seg_miou():
     _meta("cs_test_sem", stuffs=["road", "sky"])
     ev = CityscapesSemSegEvaluator("cs_test_sem")

@@ -87,3 +87,12 @@ def test_align_state_dicts_by_shape_and_name():
     # bias/scale disambiguated by name tokens
     np.testing.assert_array_equal(aligned["level0/bn/bias"], 3.0)
     np.testing.assert_array_equal(aligned["level0/bn/scale"], 2.0)
+
+
+def test_align_skips_pairs_with_no_name_similarity():
+    """Same-shaped but entirely unrelated names must stay unmatched (the
+    reference align_and_update_state_dicts warns instead of mis-wiring)."""
+    torch_sd = {"foo.alpha.gamma": np.full((4, 4), 5.0, np.float32)}
+    leaves = [("head/cls/kernel", np.zeros((4, 4), np.float32))]
+    aligned = align_state_dicts(torch_sd, leaves)
+    assert "head/cls/kernel" not in aligned
