@@ -1,3 +1,3 @@
-from .model_zoo import get, get_checkpoint_url, get_config_file
+from .model_zoo import get, get_checkpoint_url, get_config, get_config_file
 
-__all__ = ["get", "get_checkpoint_url", "get_config_file"]
+__all__ = ["get", "get_checkpoint_url", "get_config", "get_config_file"]
