@@ -400,6 +400,13 @@ def _test_defaults() -> CN:
     t.PRECISE_BN = CN()
     t.PRECISE_BN.ENABLED = False
     t.PRECISE_BN.NUM_ITER = 200
+    # Exactness switch for accuracy validation (no reference analog — the
+    # reference has no accuracy-affecting fast paths to disable). True
+    # forces exact top-k candidate selection (TPU.APPROX_TOPK ignored),
+    # float32 decode scores, and the exact XLA deformable-conv path
+    # (TPU.DCN_IMPL/DCN_WINDOW ignored), making inference bit-comparable
+    # to the reference decode semantics.
+    t.EXACT_MODE = False
     return t
 
 

@@ -324,8 +324,8 @@ def build_dla34_backbone(cfg: CfgNode, dtype: Any = jnp.float32) -> DLA34:
         channels=tuple(c.CHANNELS),
         down_ratio=c.DOWN_RATIO,
         last_level=c.LAST_LEVEL,
-        dcn_window=int(cfg.TPU.DCN_WINDOW),
-        dcn_impl=str(cfg.TPU.DCN_IMPL),
+        dcn_window=0 if cfg.TEST.EXACT_MODE else int(cfg.TPU.DCN_WINDOW),
+        dcn_impl="exact" if cfg.TEST.EXACT_MODE else str(cfg.TPU.DCN_IMPL),
         dcn_v_window=int(cfg.TPU.DCN_V_WINDOW),
         dtype=dtype,
     )

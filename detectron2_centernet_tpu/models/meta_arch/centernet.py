@@ -207,7 +207,10 @@ class CenterNet:
         self.off_weight = float(c.OFF_WEIGHT)
         self.alpha = _resolve_alpha(c.FOCAL_LOSS_ALPHA, self.num_classes)
         self.size_divisibility = int(c.SIZE_DIVISIBILITY)
-        self.approx_topk = bool(cfg.TPU.APPROX_TOPK)
+        # TEST.EXACT_MODE forces the bit-comparable decode path (exact
+        # top-k + f32 scores), overriding the TPU fast-path knobs
+        self.exact_mode = bool(cfg.TEST.EXACT_MODE)
+        self.approx_topk = bool(cfg.TPU.APPROX_TOPK) and not self.exact_mode
 
         self.pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
         self.pixel_std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
@@ -297,8 +300,13 @@ class CenterNet:
             k=self.topk_candidates,
             down_ratio=self.down_ratio,
             # the peak-suppression + top-k sweep is HBM-bound; run it at the
-            # model's compute width (box/score gathers stay f32)
-            score_dtype=self.dtype if self.dtype != jnp.float32 else None,
+            # model's compute width (box/score gathers stay f32) unless
+            # TEST.EXACT_MODE pins f32 scores
+            score_dtype=(
+                self.dtype
+                if self.dtype != jnp.float32 and not self.exact_mode
+                else None
+            ),
             approx=self.approx_topk,
         )
         return {"boxes": boxes, "scores": scores, "classes": classes}

@@ -69,7 +69,10 @@ def ctdet_decode(
     heat = heat_nms(hm)
 
     # Flatten to (N, C*H*W) in (class, y, x) index order to mirror the
-    # reference's NCHW flattening, so tie-breaking picks the same elements.
+    # reference's NCHW flattening. Tie-break parity with the reference decode
+    # holds only with approx=False and score_dtype=None (f32): approx_max_k
+    # can drop true candidates (recall 0.99) and bf16 collapses near-equal
+    # scores. TEST.EXACT_MODE forces both off for parity-sensitive eval.
     flat = jnp.transpose(heat, (0, 3, 1, 2)).reshape(n, c * h * w)
 
     if approx:
