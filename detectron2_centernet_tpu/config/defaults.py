@@ -222,6 +222,11 @@ def _retinanet_defaults() -> CN:
     r.SMOOTH_L1_LOSS_BETA = 0.1
     r.BBOX_REG_LOSS_TYPE = "smooth_l1"
     r.NORM = ""
+    # Loss normalizer: "ema" reproduces the reference's momentum-0.9 running
+    # foreground count (retinanet.py:91-92,216-218; state rides in
+    # batch_stats); "batch" is the stateless in-batch count (this
+    # framework's historical default, psum-friendly and resume-exact).
+    r.LOSS_NORMALIZER = "batch"
     return r
 
 

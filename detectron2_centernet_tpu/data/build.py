@@ -33,6 +33,7 @@ logger = logging.getLogger(__name__)
 
 __all__ = [
     "get_detection_dataset_dicts",
+    "load_proposals_into_dataset",
     "build_detection_train_loader",
     "build_detection_test_loader",
     "build_batch_iterator",
@@ -43,16 +44,68 @@ def _has_annotations(d: dict) -> bool:
     return any(a.get("iscrowd", 0) == 0 for a in d.get("annotations", []))
 
 
-def get_detection_dataset_dicts(
-    dataset_names, filter_empty: bool = True
+def load_proposals_into_dataset(
+    dataset_dicts: List[dict], proposal_file: str
 ) -> List[dict]:
-    """Load + concat + filter registered datasets (reference build.py:201-250)."""
+    """Attach precomputed proposals to dataset dicts (reference
+    build.py:102-155).
+
+    The pickle holds ``ids`` (image ids), ``boxes`` (list of (N, 4) arrays),
+    ``objectness_logits`` (list of (N,) arrays) and optionally ``bbox_mode``;
+    Detectron1 files use ``indexes``/``scores`` names.  Records gain
+    ``proposal_boxes`` (XYXY_ABS), ``proposal_objectness_logits`` and
+    ``proposal_bbox_mode``; images with no proposals in the file are left
+    untouched (the mapper emits an empty slot set for them).
+    """
+    import pickle
+
+    from ..structures.boxes import BoxMode
+
+    logger.info("Loading proposals from: %s", proposal_file)
+    with open(proposal_file, "rb") as f:
+        proposals = pickle.load(f, encoding="latin1")
+    for old, new in {"indexes": "ids", "scores": "objectness_logits"}.items():
+        if old in proposals:
+            proposals[new] = proposals.pop(old)
+
+    img_ids = {str(record["image_id"]) for record in dataset_dicts}
+    id_to_index = {
+        str(pid): i for i, pid in enumerate(proposals["ids"]) if str(pid) in img_ids
+    }
+    bbox_mode = BoxMode(proposals["bbox_mode"]) if "bbox_mode" in proposals else BoxMode.XYXY_ABS
+    for record in dataset_dicts:
+        i = id_to_index.get(str(record["image_id"]))
+        if i is None:
+            continue
+        boxes = np.asarray(proposals["boxes"][i], np.float32).reshape(-1, 4)
+        record["proposal_boxes"] = BoxMode.convert(boxes, bbox_mode, BoxMode.XYXY_ABS)
+        record["proposal_objectness_logits"] = np.asarray(
+            proposals["objectness_logits"][i], np.float32
+        )
+        record["proposal_bbox_mode"] = BoxMode.XYXY_ABS
+    return dataset_dicts
+
+
+def get_detection_dataset_dicts(
+    dataset_names, filter_empty: bool = True, proposal_files=None
+) -> List[dict]:
+    """Load + concat + filter registered datasets (reference build.py:201-250).
+
+    ``proposal_files`` (optional, parallel to ``dataset_names``) attaches
+    precomputed proposals per dataset before concatenation (the
+    ``MODEL.LOAD_PROPOSALS`` workflow)."""
     if isinstance(dataset_names, str):
         dataset_names = [dataset_names]
     assert len(dataset_names)
     dataset_dicts = [DatasetCatalog.get(name) for name in dataset_names]
     for name, dicts in zip(dataset_names, dataset_dicts):
         assert len(dicts), f"Dataset '{name}' is empty!"
+    if proposal_files:
+        assert len(dataset_names) == len(proposal_files)
+        dataset_dicts = [
+            load_proposals_into_dataset(dicts, f)
+            for dicts, f in zip(dataset_dicts, proposal_files)
+        ]
     dataset_dicts = list(itertools.chain.from_iterable(dataset_dicts))
 
     has_instances = "annotations" in dataset_dicts[0]
@@ -164,7 +217,11 @@ def build_detection_train_loader(cfg: CfgNode, mapper: Optional[Callable] = None
     Total batch ``SOLVER.IMS_PER_BATCH`` is split evenly across JAX processes
     (reference splits across GPU workers, build.py:270-277)."""
     dataset_dicts = get_detection_dataset_dicts(
-        cfg.DATASETS.TRAIN, filter_empty=cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS
+        cfg.DATASETS.TRAIN,
+        filter_empty=cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS,
+        proposal_files=(
+            cfg.DATASETS.PROPOSAL_FILES_TRAIN if cfg.MODEL.LOAD_PROPOSALS else None
+        ),
     )
     if mapper is None:
         mapper = DatasetMapper(cfg, is_train=True)
@@ -208,7 +265,13 @@ def build_detection_test_loader(
     The final short batch is NOT padded here — the eval loop pads to the
     static batch shape and masks, keeping XLA on one compiled program.
     """
-    dataset_dicts = get_detection_dataset_dicts([dataset_name], filter_empty=False)
+    proposal_files = None
+    if cfg.MODEL.LOAD_PROPOSALS:
+        idx = list(cfg.DATASETS.TEST).index(dataset_name)
+        proposal_files = [cfg.DATASETS.PROPOSAL_FILES_TEST[idx]]
+    dataset_dicts = get_detection_dataset_dicts(
+        [dataset_name], filter_empty=False, proposal_files=proposal_files
+    )
     if mapper is None:
         mapper = DatasetMapper(cfg, is_train=False)
     sampler = InferenceSampler(len(dataset_dicts))

@@ -60,6 +60,14 @@ class DatasetMapper:
                 self.kp_flip_indices = np.asarray(perm)
         self.mask_raster = int(cfg.INPUT.MASK_RASTER)
         self.max_objs = int(cfg.MODEL.CENTERNET.MAX_OBJS)
+        # precomputed-proposal workflow (reference dataset_mapper.py:153-158 /
+        # detection_utils transform_proposals): fixed top-K slots + validity
+        self.load_proposals = bool(cfg.MODEL.LOAD_PROPOSALS)
+        self.proposal_topk = int(
+            cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN
+            if is_train
+            else cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST
+        )
         self.train_size = tuple(cfg.INPUT.TRAIN_SIZE)
         self.test_size = tuple(cfg.INPUT.TEST_SIZE)
         self.affine_aug = CenterAffineAug(
@@ -180,6 +188,33 @@ class DatasetMapper:
             "width": np.int32(dataset_dict["width"]),
             "image_id": np.int64(dataset_dict.get("image_id", -1)),
         }
+
+        if self.load_proposals:
+            k = self.proposal_topk
+            pboxes = np.zeros((k, 4), np.float32)
+            plogits = np.full((k,), -1e9, np.float32)
+            pvalid = np.zeros((k,), bool)
+            raw = dataset_dict.get("proposal_boxes")
+            if raw is not None and len(raw):
+                raw = np.asarray(raw, np.float32).reshape(-1, 4)
+                logits = np.asarray(
+                    dataset_dict.get(
+                        "proposal_objectness_logits", np.zeros(len(raw))
+                    ),
+                    np.float32,
+                )
+                order = np.argsort(-logits)[:k]
+                b = utils.apply_affine_to_boxes(m, raw[order])
+                np.clip(b[:, 0::2], 0, out_size[1] - 1, out=b[:, 0::2])
+                np.clip(b[:, 1::2], 0, out_size[0] - 1, out=b[:, 1::2])
+                ok = (b[:, 2] - b[:, 0] > 1e-5) & (b[:, 3] - b[:, 1] > 1e-5)
+                b, lg = b[ok], logits[order][ok]
+                pboxes[: len(b)] = b
+                plogits[: len(b)] = lg
+                pvalid[: len(b)] = True
+            out["proposal_boxes"] = pboxes
+            out["proposal_objectness_logits"] = plogits
+            out["proposal_valid"] = pvalid
 
         if self.is_train:
             annos = [

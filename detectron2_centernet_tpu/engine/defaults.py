@@ -293,7 +293,9 @@ class DefaultTrainer(SimpleTrainer):
             variables = model.variables
             mesh = get_mesh(cfg.TPU.NUM_DEVICES, cfg.TPU.MESH_AXIS)
 
-        predict = jax.jit(lambda images: model.predict_fn(variables, images))
+        predict = jax.jit(
+            lambda images, *extra: model.predict_fn(variables, images, *extra)
+        )
 
         results = OrderedDict()
         for idx, dataset_name in enumerate(cfg.DATASETS.TEST):

@@ -113,7 +113,13 @@ def inference_on_dataset(
             batch = _pad_batch(batch, batch_size)
 
         start_compute_time = time.perf_counter()
-        dets = predict_fn(batch["image"])
+        if "proposal_boxes" in batch:
+            # precomputed-proposal workflow (MODEL.LOAD_PROPOSALS)
+            dets = predict_fn(
+                batch["image"], batch["proposal_boxes"], batch["proposal_valid"]
+            )
+        else:
+            dets = predict_fn(batch["image"])
         dets = {k: np.asarray(v) for k, v in dets.items()}  # host fetch = fence
         total_compute_time += time.perf_counter() - start_compute_time
 

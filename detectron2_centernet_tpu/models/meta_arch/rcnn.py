@@ -17,7 +17,7 @@ Supports ``StandardROIHeads`` (FPN, box path) and ``Res5ROIHeads`` (C4).
 
 import logging
 import math
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -277,6 +277,13 @@ class GeneralizedRCNN:
         self.nms_threshold = float(rh.NMS_THRESH_TEST)
         self.max_detections = int(cfg.TEST.DETECTIONS_PER_IMAGE)
         self.proposal_append_gt = bool(rh.PROPOSAL_APPEND_GT)
+        # MODEL.LOAD_PROPOSALS: proposals come precomputed from the data
+        # pipeline (reference proposal_generator/build.py:18-22 — name
+        # "PrecomputedProposals" builds no RPN)
+        self.precomputed_proposals = (
+            cfg.MODEL.PROPOSAL_GENERATOR.NAME == "PrecomputedProposals"
+            or bool(cfg.MODEL.LOAD_PROPOSALS)
+        )
 
         self.mask_on = bool(cfg.MODEL.MASK_ON)
         mh = cfg.MODEL.ROI_MASK_HEAD
@@ -447,19 +454,27 @@ class GeneralizedRCNN:
             rng = jax.random.PRNGKey(0)
         rng_rpn, rng_roi, rng_point = jax.random.split(rng, 3)
 
-        losses = rpn_losses(
-            anchors, jnp.concatenate(lg, 1), jnp.concatenate(dl, 1),
-            batch["gt_boxes"], batch["gt_valid"], rng_rpn,
-            self.rpn_matcher, self.rpn_box2box,
-            self.rpn_batch_size, self.rpn_positive_fraction, self.rpn_smooth_l1_beta,
-        )
-        losses = {k: v * self.rpn_loss_weight for k, v in losses.items()}
+        if self.precomputed_proposals:
+            # Fast R-CNN workflow (MODEL.LOAD_PROPOSALS, reference
+            # build.py:102 + proposal_generator/build.py:21): proposals come
+            # from the batch, no RPN losses
+            losses = {}
+            prop_boxes = batch["proposal_boxes"]
+            prop_valid = batch["proposal_valid"]
+        else:
+            losses = rpn_losses(
+                anchors, jnp.concatenate(lg, 1), jnp.concatenate(dl, 1),
+                batch["gt_boxes"], batch["gt_valid"], rng_rpn,
+                self.rpn_matcher, self.rpn_box2box,
+                self.rpn_batch_size, self.rpn_positive_fraction, self.rpn_smooth_l1_beta,
+            )
+            losses = {k: v * self.rpn_loss_weight for k, v in losses.items()}
 
-        prop_boxes, prop_scores, prop_valid = self._proposals(
-            [jax.lax.stop_gradient(x) for x in logits],
-            [jax.lax.stop_gradient(x) for x in deltas],
-            anchors_per_level, (h, w), "train",
-        )
+            prop_boxes, prop_scores, prop_valid = self._proposals(
+                [jax.lax.stop_gradient(x) for x in logits],
+                [jax.lax.stop_gradient(x) for x in deltas],
+                anchors_per_level, (h, w), "train",
+            )
 
         sample_fn = jax.vmap(
             lambda rng_i, pb, pv, gb, gc, gv: label_and_sample_proposals(
@@ -625,16 +640,30 @@ class GeneralizedRCNN:
         return total, (losses, new_stats)
 
     # -- inference ------------------------------------------------------------
-    def predict_fn(self, variables, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    def predict_fn(
+        self,
+        variables,
+        images: jnp.ndarray,
+        proposal_boxes: Optional[jnp.ndarray] = None,
+        proposal_valid: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, jnp.ndarray]:
         x = self.normalize(images)
         n, h, w, _ = x.shape
         feats, logits, deltas = self.module.apply(
             variables, x, False, method=RCNNNetwork.backbone_rpn
         )
-        anchors_per_level = self._anchors_per_level((h, w))
-        prop_boxes, prop_scores, prop_valid = self._proposals(
-            logits, deltas, anchors_per_level, (h, w), "test"
-        )
+        if self.precomputed_proposals:
+            assert proposal_boxes is not None and proposal_valid is not None, (
+                "MODEL.LOAD_PROPOSALS inference needs proposal_boxes/"
+                "proposal_valid from the batch"
+            )
+            prop_boxes, prop_valid = proposal_boxes, proposal_valid
+            prop_scores = jnp.where(prop_valid, 0.0, -jnp.inf)
+        else:
+            anchors_per_level = self._anchors_per_level((h, w))
+            prop_boxes, prop_scores, prop_valid = self._proposals(
+                logits, deltas, anchors_per_level, (h, w), "test"
+            )
         p = prop_boxes.shape[1]
         batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), p)
         if self.roi_type == "cascade":

@@ -8,9 +8,10 @@ score threshold → class-aware NMS inference (:323-404).
 TPU redesign mirrors the CenterNet meta-arch contract: fixed-shape batches
 (gt slots masked by ``gt_valid``), one jitted ``loss_fn``/``predict_fn``,
 fixed K detection slots out of NMS (ops/nms.py), host-side ``postprocess``.
-Deviation noted: the reference normalizes box loss by an EMA of the
-foreground count (``loss_normalizer`` momentum 0.9); here normalization is
-the in-batch foreground count (stateless, psum-friendly).
+Loss normalization: ``MODEL.RETINANET.LOSS_NORMALIZER`` — "ema" reproduces
+the reference's momentum-0.9 running foreground count (:91-92,216-218;
+the scalar rides in ``batch_stats`` so it checkpoints/resumes with the BN
+statistics), "batch" (default) is the stateless in-batch count.
 """
 
 import math
@@ -144,6 +145,8 @@ class RetinaNet:
         self.topk_candidates = int(r.TOPK_CANDIDATES_TEST)
         self.nms_threshold = float(r.NMS_THRESH_TEST)
         self.max_detections = int(cfg.TEST.DETECTIONS_PER_IMAGE)
+        self.loss_normalizer_mode = str(r.LOSS_NORMALIZER)
+        assert self.loss_normalizer_mode in ("batch", "ema")
 
         self.pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
         self.pixel_std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
@@ -216,6 +219,10 @@ class RetinaNet:
 
     def loss_fn(self, params, batch_stats, batch):
         images = self.normalize(batch["image"])
+        # the EMA loss normalizer rides in batch_stats (it is a running
+        # statistic with the BN-stats lifecycle); strip it before apply
+        batch_stats = dict(batch_stats) if batch_stats else {}
+        prev_normalizer = batch_stats.pop("loss_normalizer", None)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -234,6 +241,14 @@ class RetinaNet:
         pos = pos & (gt_labels >= 0)
         num_pos = jnp.maximum(pos.sum(), 1.0)
         valid = gt_labels >= 0
+        if self.loss_normalizer_mode == "ema":
+            # reference retinanet.py:216-218: momentum-0.9 running fg count,
+            # updated before use, initialized at 100
+            if prev_normalizer is None:
+                prev_normalizer = jnp.asarray(100.0, jnp.float32)
+            normalizer = 0.9 * prev_normalizer + 0.1 * num_pos
+        else:
+            normalizer = num_pos
 
         targets = jax.nn.one_hot(
             jnp.where(pos, gt_labels, self.num_classes), self.num_classes, dtype=jnp.float32
@@ -241,14 +256,16 @@ class RetinaNet:
         cls_loss = sigmoid_focal_loss(
             cls_pred, targets, self.focal_alpha, self.focal_gamma
         )
-        cls_loss = jnp.where(valid[..., None], cls_loss, 0.0).sum() / num_pos
+        cls_loss = jnp.where(valid[..., None], cls_loss, 0.0).sum() / normalizer
 
         deltas_gt = self.box2box.get_deltas(anchors[None], matched_boxes)
         reg = smooth_l1(box_pred, deltas_gt, self.smooth_l1_beta)
-        reg_loss = jnp.where(pos[..., None], reg, 0.0).sum() / num_pos
+        reg_loss = jnp.where(pos[..., None], reg, 0.0).sum() / normalizer
 
         loss_dict = {"loss_cls": cls_loss, "loss_box_reg": reg_loss}
-        new_stats = mutated.get("batch_stats", batch_stats)
+        new_stats = dict(mutated.get("batch_stats", batch_stats))
+        if self.loss_normalizer_mode == "ema":
+            new_stats["loss_normalizer"] = jax.lax.stop_gradient(normalizer)
         return cls_loss + reg_loss, (loss_dict, new_stats)
 
     # -- inference ------------------------------------------------------------

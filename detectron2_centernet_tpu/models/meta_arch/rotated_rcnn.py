@@ -256,13 +256,26 @@ class RotatedRCNN:
         )
 
         def infer_one(pb, pv, pr):
-            best = pr.max(-1)
-            cls = pr.argmax(-1).astype(jnp.int32)
-            sc = jnp.where(pv & (best > self.score_threshold), best, -jnp.inf)
-            keep, valid = nms_rotated_fixed(pb, sc, self.nms_threshold, self.max_detections)
+            # full (proposal, class) candidate grid + per-class NMS — the
+            # reference's fast_rcnn_inference_single_image_rotated
+            # (rotated_fast_rcnn.py): every class whose score clears the
+            # threshold is a candidate, suppression only within a class.
+            np_, nc = pr.shape
+            sc_grid = jnp.where(
+                pv[:, None] & (pr > self.score_threshold), pr, -jnp.inf
+            )
+            m = min(4 * self.max_detections, np_ * nc)
+            top_sc, top_idx = jax.lax.top_k(sc_grid.reshape(-1), m)
+            prop_idx = top_idx // nc
+            cls = (top_idx % nc).astype(jnp.int32)
+            cand = pb[prop_idx]  # class-agnostic box regression
+            keep, valid = nms_rotated_fixed(
+                cand, top_sc, self.nms_threshold, self.max_detections,
+                classes=cls,
+            )
             return {
-                "boxes": pb[keep],
-                "scores": jnp.where(valid, sc[keep], 0.0),
+                "boxes": cand[keep],
+                "scores": jnp.where(valid, top_sc[keep], 0.0),
                 "classes": cls[keep],
             }
 

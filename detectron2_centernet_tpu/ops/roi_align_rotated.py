@@ -150,8 +150,14 @@ def nms_rotated_fixed(
     scores: jnp.ndarray,  # (C,)
     iou_threshold: float,
     max_out: int = 100,
+    classes: jnp.ndarray = None,  # optional (C,) int — per-class suppression
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fixed-K greedy rotated NMS (device analog of csrc/nms_rotated)."""
+    """Fixed-K greedy rotated NMS (device analog of csrc/nms_rotated).
+
+    With ``classes`` given, suppression only applies within a class —
+    the reference's ``batched_nms_rotated`` semantics
+    (layers/nms.py:34, rotated_fast_rcnn.py), expressed as a same-class
+    mask instead of the coordinate-offset trick (exact in f32)."""
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
 
     def body(i, state):
@@ -161,7 +167,10 @@ def nms_rotated_fixed(
         keep = keep.at[i].set(j.astype(jnp.int32))
         valid = valid.at[i].set(ok)
         iou = jax.vmap(lambda b: _pair_iou_rot(boxes[j], b))(boxes)
-        live = jnp.where((iou > iou_threshold) & ok, neg_inf, live)
+        suppress = (iou > iou_threshold) & ok
+        if classes is not None:
+            suppress = suppress & (classes == classes[j])
+        live = jnp.where(suppress, neg_inf, live)
         live = live.at[j].set(neg_inf)
         return live, keep, valid
 

@@ -99,6 +99,38 @@ def test_retinanet_loss_perfect_prediction_is_small():
     assert float(ld["loss_cls"]) > 0 and float(ld["loss_box_reg"]) > 0
 
 
+def test_retinanet_ema_loss_normalizer():
+    """LOSS_NORMALIZER=ema reproduces the reference's momentum-0.9 running
+    fg count (retinanet.py:91-92,216-218), threaded through batch_stats."""
+    cfg = _tiny_cfg()
+    cfg.MODEL.RETINANET.LOSS_NORMALIZER = "ema"
+    model = build_model(cfg)
+    v = model.init(jax.random.PRNGKey(0), (64, 64))
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.rand(1, 64, 64, 3) * 255, jnp.float32),
+        "gt_boxes": jnp.asarray([[[8.0, 8.0, 40.0, 40.0]]], np.float32),
+        "gt_classes": jnp.zeros((1, 1), jnp.int32),
+        "gt_valid": jnp.ones((1, 1), bool),
+    }
+    stats = v.get("batch_stats", {})
+    total1, (ld1, stats1) = model.loss_fn(v["params"], stats, batch)
+    norm1 = float(stats1["loss_normalizer"])
+    # in-batch fg count for this scene
+    cfg2 = _tiny_cfg()
+    model_b = build_model(cfg2)
+    _, (ld_b, stats_b) = model_b.loss_fn(v["params"], stats, batch)
+    assert "loss_normalizer" not in stats_b
+    num_pos = float(ld1["loss_cls"]) / float(ld_b["loss_cls"]) * norm1
+    # step 1: norm = 0.9*100 + 0.1*num_pos
+    np.testing.assert_allclose(norm1, 0.9 * 100.0 + 0.1 * num_pos, rtol=1e-5)
+    # step 2 feeds the updated normalizer back through batch_stats
+    _, (_, stats2) = model.loss_fn(v["params"], stats1, batch)
+    np.testing.assert_allclose(
+        float(stats2["loss_normalizer"]), 0.9 * norm1 + 0.1 * num_pos, rtol=1e-5
+    )
+
+
 def test_retinanet_predict_shapes():
     cfg = _tiny_cfg()
     model = build_model(cfg)

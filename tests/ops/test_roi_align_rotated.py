@@ -42,6 +42,26 @@ def test_rotated_nms_matches_host():
     assert got == want
 
 
+def test_rotated_nms_per_class_keeps_cross_class_overlaps():
+    # two identical boxes, different classes: per-class NMS keeps both;
+    # class-blind NMS would drop the lower-scored one
+    boxes = np.array([[30, 30, 20, 10, 15.0]] * 2 + [[30, 30, 20, 10, 17.0]],
+                     np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    classes = np.array([0, 1, 0], np.int32)
+    keep, valid = nms_rotated_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.5, 3,
+        classes=jnp.asarray(classes),
+    )
+    kept = sorted(np.asarray(keep)[np.asarray(valid)].tolist())
+    # box2 (class 0, iou~0.9 with box0) suppressed; box1 (class 1) survives
+    assert kept == [0, 1]
+    keep_blind, valid_blind = nms_rotated_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.5, 3
+    )
+    assert sorted(np.asarray(keep_blind)[np.asarray(valid_blind)].tolist()) == [0]
+
+
 def test_roi_align_rotated_zero_angle_matches_axis_aligned():
     rng = np.random.RandomState(2)
     feat = jnp.asarray(rng.rand(1, 24, 24, 4), jnp.float32)
