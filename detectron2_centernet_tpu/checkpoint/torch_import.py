@@ -53,12 +53,31 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 def convert_torch_tensor(name: str, arr: np.ndarray) -> np.ndarray:
-    """Torch layout -> flax layout, keyed on name/shape heuristics."""
+    """Torch layout -> flax layout, keyed on name/shape heuristics.
+
+    ConvTranspose2d weights ("deconv"/"up" names) additionally need a
+    spatial FLIP: torch's transposed conv correlates the dilated input with
+    the spatially reversed kernel, while our flax deconvs (nn.ConvTranspose
+    / BilinearUpsample's input-dilated conv) correlate with the kernel
+    as-is.  Torch deconv weight layout is (in, out/groups, kH, kW):
+      * dense deconv  (I, O, KH, KW)  -> flip(kh,kw) -> (KH, KW, I, O)
+      * depthwise up  (C, 1, KH, KW)  -> flip(kh,kw) -> (KH, KW, 1, C)
+    (verified numerically vs torch; symmetric bilinear-init kernels hid
+    the flip until whole-model parity tests caught it)."""
     if arr.ndim == 4:
-        o, i, kh, kw = arr.shape
-        if i == 1 and ("up" in name or "deconv" in name) and o > 1:
-            # grouped depthwise deconv (O,1,KH,KW) -> (KH,KW,1,O)
-            return np.transpose(arr, (2, 3, 1, 0))
+        d0, d1, kh, kw = arr.shape
+        segs = name.split(".")
+        owner = segs[-2] if len(segs) >= 2 else ""
+        is_deconv = name.endswith("weight") and (
+            "deconv" in name or owner.startswith("up")
+        )
+        if is_deconv:
+            flipped = arr[:, :, ::-1, ::-1]
+            if d1 == 1 and d0 > 1:
+                # grouped depthwise (C,1,KH,KW) -> (KH,KW,1,C)
+                return np.ascontiguousarray(np.transpose(flipped, (2, 3, 1, 0)))
+            # dense ConvTranspose2d (I,O,KH,KW) -> (KH,KW,I,O)
+            return np.ascontiguousarray(np.transpose(flipped, (2, 3, 0, 1)))
         return np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
     if arr.ndim == 2:
         return arr.T  # (O, I) -> (I, O)
@@ -185,6 +204,35 @@ def align_state_dicts(
                 "deterministic DLA name map matched %d/%d leaves",
                 len(result), len(flax_leaves),
             )
+
+    # deterministic map for the CenterNet resnet/vovnet deconv neck
+    # (reference _make_deconv_layer, centernet.py:268-296): Sequential
+    # [deconv, BN, ReLU] x N — the BNs are shape-identical so fuzzy suffix
+    # matching can cross stage boundaries; map them by position instead
+    flax_by_name = dict(flax_leaves)
+    _BN_LEAF = {
+        "weight": "scale", "bias": "bias",
+        "running_mean": "mean", "running_var": "var",
+    }
+    for tk, tv in torch_sd.items():
+        if tk in used_torch_keys or not tk.startswith("deconv_layers."):
+            continue
+        parts = tk.split(".")
+        idx, leaf = int(parts[1]), parts[2]
+        stage, role = divmod(idx, 3)
+        if role == 0 and leaf == "weight":
+            suffix = f"deconv{stage}/kernel"
+        elif role == 1 and leaf in _BN_LEAF:
+            suffix = f"deconv{stage}_bn/{_BN_LEAF[leaf]}"
+        else:
+            continue
+        cands = [fn for fn in flax_by_name if fn.endswith("/" + suffix) or fn == suffix]
+        if len(cands) != 1 or cands[0] in result:
+            continue
+        arr = convert_torch_tensor(tk, tv)
+        if arr.shape == flax_by_name[cands[0]].shape:
+            result[cands[0]] = arr
+            used_torch_keys.add(tk)
 
     remaining = {
         k: v

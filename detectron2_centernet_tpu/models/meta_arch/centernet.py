@@ -338,8 +338,9 @@ class CenterNet:
             inst = Instances((oh, ow))
             bx = Boxes(b.astype(np.float32))
             bx.clip((oh, ow))
-            inst.pred_boxes = bx
-            inst.scores = s.astype(np.float32)
-            inst.pred_classes = c.astype(np.int64)
+            ne = bx.nonempty()  # detector_postprocess drops empty boxes
+            inst.pred_boxes = bx[ne]
+            inst.scores = s[ne].astype(np.float32)
+            inst.pred_classes = c[ne].astype(np.int64)
             results.append({"instances": inst})
         return results

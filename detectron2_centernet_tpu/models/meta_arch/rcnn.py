@@ -779,6 +779,11 @@ class GeneralizedRCNN:
             inst = Instances((oh, ow))
             bx = Boxes(b.astype(np.float32))
             bx.clip((oh, ow))
+            ne = bx.nonempty()  # detector_postprocess drops empty boxes
+            keep = keep.copy()
+            keep[np.flatnonzero(keep)[~ne]] = False  # stays a (K,) slot mask
+            b, s, c = b[ne], s[ne], c[ne]
+            bx = bx[ne]
             inst.pred_boxes = bx
             inst.scores = s.astype(np.float32)
             inst.pred_classes = c.astype(np.int64)

@@ -51,6 +51,66 @@ def _install_stubs(torch):
         wi.c2_msra_fill = c2_msra_fill
         wi.c2_xavier_fill = c2_xavier_fill
         fvnn.weight_init = wi
+
+        # faithful loss implementations (fvcore's published semantics) so
+        # reference loss paths compute real numbers for golden comparison
+        def smooth_l1_loss(input, target, beta, reduction="none"):
+            if beta < 1e-5:
+                loss = torch.abs(input - target)
+            else:
+                n = torch.abs(input - target)
+                loss = torch.where(n < beta, 0.5 * n ** 2 / beta, n - 0.5 * beta)
+            if reduction == "mean":
+                return loss.mean()
+            if reduction == "sum":
+                return loss.sum()
+            return loss
+
+        def sigmoid_focal_loss(inputs, targets, alpha=-1, gamma=2, reduction="none"):
+            p = torch.sigmoid(inputs)
+            ce = torch.nn.functional.binary_cross_entropy_with_logits(
+                inputs, targets, reduction="none"
+            )
+            p_t = p * targets + (1 - p) * (1 - targets)
+            loss = ce * ((1 - p_t) ** gamma)
+            if alpha >= 0:
+                alpha_t = alpha * targets + (1 - alpha) * (1 - targets)
+                loss = alpha_t * loss
+            if reduction == "mean":
+                return loss.mean()
+            if reduction == "sum":
+                return loss.sum()
+            return loss
+
+        def giou_loss(boxes1, boxes2, reduction="none", eps=1e-7):
+            x1, y1, x2, y2 = boxes1.unbind(dim=-1)
+            x1g, y1g, x2g, y2g = boxes2.unbind(dim=-1)
+            xkis1 = torch.max(x1, x1g)
+            ykis1 = torch.max(y1, y1g)
+            xkis2 = torch.min(x2, x2g)
+            ykis2 = torch.min(y2, y2g)
+            intsctk = torch.zeros_like(x1)
+            mask = (ykis2 > ykis1) & (xkis2 > xkis1)
+            intsctk[mask] = (xkis2[mask] - xkis1[mask]) * (ykis2[mask] - ykis1[mask])
+            unionk = (x2 - x1) * (y2 - y1) + (x2g - x1g) * (y2g - y1g) - intsctk
+            iouk = intsctk / (unionk + eps)
+            xc1 = torch.min(x1, x1g)
+            yc1 = torch.min(y1, y1g)
+            xc2 = torch.max(x2, x2g)
+            yc2 = torch.max(y2, y2g)
+            area_c = (xc2 - xc1) * (yc2 - yc1)
+            miouk = iouk - ((area_c - unionk) / (area_c + eps))
+            loss = 1 - miouk
+            if reduction == "mean":
+                return loss.mean()
+            if reduction == "sum":
+                return loss.sum()
+            return loss
+
+        fvnn.smooth_l1_loss = smooth_l1_loss
+        fvnn.sigmoid_focal_loss = sigmoid_focal_loss
+        fvnn.sigmoid_focal_loss_jit = sigmoid_focal_loss
+        fvnn.giou_loss = giou_loss
         fv.nn = fvnn
 
         fvc = types.ModuleType("fvcore.common")
@@ -76,6 +136,68 @@ def _install_stubs(torch):
         fvreg.Registry = Registry
         fvc.registry = fvreg
         fv.common = fvc
+
+        fvio = types.ModuleType("fvcore.common.file_io")
+
+        class PathManager:
+            @staticmethod
+            def open(path, mode="r", **kw):
+                return open(path, mode, **kw)
+
+            @staticmethod
+            def exists(path):
+                return os.path.exists(path)
+
+            @staticmethod
+            def get_local_path(path):
+                return path
+
+            @staticmethod
+            def isfile(path):
+                return os.path.isfile(path)
+
+        fvio.PathManager = PathManager
+        fvc.file_io = fvio
+
+        fvhb = types.ModuleType("fvcore.common.history_buffer")
+
+        class HistoryBuffer:
+            def __init__(self, max_length: int = 1000000):
+                self._max_length = max_length
+                self._data = []
+                self._count = 0
+                self._global_avg = 0.0
+
+            def update(self, value, iteration=None):
+                if iteration is None:
+                    iteration = self._count
+                if len(self._data) == self._max_length:
+                    self._data.pop(0)
+                self._data.append((value, iteration))
+                self._count += 1
+                self._global_avg += (value - self._global_avg) / self._count
+
+            def latest(self):
+                return self._data[-1][0]
+
+            def median(self, window_size):
+                import numpy as _np
+
+                return _np.median([x[0] for x in self._data[-window_size:]])
+
+            def avg(self, window_size):
+                import numpy as _np
+
+                return _np.mean([x[0] for x in self._data[-window_size:]])
+
+            def global_avg(self):
+                return self._global_avg
+
+            def values(self):
+                return self._data
+
+        fvhb.HistoryBuffer = HistoryBuffer
+        fvc.history_buffer = fvhb
         sys.modules.update(
             {
                 "fvcore": fv,
@@ -83,8 +205,22 @@ def _install_stubs(torch):
                 "fvcore.nn.weight_init": wi,
                 "fvcore.common": fvc,
                 "fvcore.common.registry": fvreg,
+                "fvcore.common.file_io": fvio,
+                "fvcore.common.history_buffer": fvhb,
             }
         )
+
+    if "pycocotools" not in sys.modules:
+        pc = types.ModuleType("pycocotools")
+        pcm = types.ModuleType("pycocotools.mask")
+
+        def _unavailable(*a, **k):
+            raise RuntimeError("pycocotools stub: not available in this env")
+
+        for fn in ("frPyObjects", "decode", "encode", "merge", "area", "iou"):
+            setattr(pcm, fn, _unavailable)
+        pc.mask = pcm
+        sys.modules.update({"pycocotools": pc, "pycocotools.mask": pcm})
 
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
@@ -92,10 +228,37 @@ def _install_stubs(torch):
         tvboxes = types.ModuleType("torchvision.ops.boxes")
 
         def _nms(boxes, scores, iou_threshold):
-            raise NotImplementedError("torchvision stub: nms not available")
+            """Exact greedy NMS (torchvision semantics) in pure torch — the
+            reference inference paths call it on CPU during whole-model
+            golden tests."""
+            order = scores.argsort(descending=True)
+            boxes = boxes[order]
+            x1, y1, x2, y2 = boxes.unbind(dim=1)
+            areas = (x2 - x1).clamp(min=0) * (y2 - y1).clamp(min=0)
+            keep = []
+            alive = torch.ones(len(boxes), dtype=torch.bool)
+            for i in range(len(boxes)):
+                if not alive[i]:
+                    continue
+                keep.append(order[i])
+                xx1 = torch.max(x1[i], x1[i + 1 :])
+                yy1 = torch.max(y1[i], y1[i + 1 :])
+                xx2 = torch.min(x2[i], x2[i + 1 :])
+                yy2 = torch.min(y2[i], y2[i + 1 :])
+                inter = (xx2 - xx1).clamp(min=0) * (yy2 - yy1).clamp(min=0)
+                iou = inter / (areas[i] + areas[i + 1 :] - inter)
+                alive[i + 1 :] &= iou <= iou_threshold
+            return torch.stack(keep) if keep else torch.zeros(0, dtype=torch.long)
+
+        def _batched_nms(boxes, scores, idxs, iou_threshold):
+            if boxes.numel() == 0:
+                return torch.zeros(0, dtype=torch.long)
+            max_coordinate = boxes.max()
+            offsets = idxs.to(boxes) * (max_coordinate + torch.tensor(1).to(boxes))
+            return _nms(boxes + offsets[:, None], scores, iou_threshold)
 
         tvboxes.nms = _nms
-        tvboxes.batched_nms = _nms
+        tvboxes.batched_nms = _batched_nms
         tvops.boxes = tvboxes
         tvops.nms = _nms
         tvops.roi_align = _nms
@@ -108,9 +271,51 @@ def _install_stubs(torch):
             }
         )
 
+    if "detectron2.config" not in sys.modules:
+        import functools
+
+        cfgmod = types.ModuleType("detectron2.config")
+
+        def _called_with_cfg(*args, **kwargs):
+            first = args[0] if args else kwargs.get("cfg")
+            return hasattr(first, "MODEL")
+
+        def configurable(init_func=None, *, from_config=None):
+            """Reference ``detectron2/config/config.py:110-199`` semantics:
+            a cfg first-arg routes through ``from_config`` into explicit
+            kwargs; explicit calls pass straight through."""
+            if init_func is not None:
+                @functools.wraps(init_func)
+                def wrapped(self, *args, **kwargs):
+                    if _called_with_cfg(*args, **kwargs):
+                        explicit = type(self).from_config(*args, **kwargs)
+                        init_func(self, **explicit)
+                    else:
+                        init_func(self, *args, **kwargs)
+
+                return wrapped
+
+            def wrapper(orig_func):
+                @functools.wraps(orig_func)
+                def wrapped(*args, **kwargs):
+                    if _called_with_cfg(*args, **kwargs):
+                        return orig_func(**from_config(*args, **kwargs))
+                    return orig_func(*args, **kwargs)
+
+                return wrapped
+
+            return wrapper
+
+        from detectron2_centernet_tpu.config import CfgNode as _OurCfgNode
+
+        cfgmod.configurable = configurable
+        cfgmod.CfgNode = _OurCfgNode  # duck-compatible yacs surface
+        sys.modules["detectron2.config"] = cfgmod
+
     if "detectron2" not in sys.modules:
         pkg = types.ModuleType("detectron2")
         pkg.__path__ = [os.path.join(REF, "detectron2")]
+        pkg.config = sys.modules["detectron2.config"]
 
         class _CStub:
             def __getattr__(self, name):
@@ -120,12 +325,26 @@ def _install_stubs(torch):
         sys.modules["detectron2"] = pkg
         # path-only subpackages: leaf modules execute without the package
         # __init__ side effects (which need yacs/pycocotools/etc.)
-        for sub in ("modeling", "modeling.backbone", "structures", "utils"):
+        for sub in (
+            "modeling",
+            "modeling.backbone",
+            "modeling.meta_arch",
+            "modeling.roi_heads",
+            "structures",
+            "utils",
+            "data",
+        ):
             m = types.ModuleType(f"detectron2.{sub}")
             m.__path__ = [os.path.join(REF, "detectron2", *sub.split("."))]
             sys.modules[f"detectron2.{sub}"] = m
             parent = sys.modules["detectron2." + sub.rsplit(".", 1)[0]] if "." in sub else pkg
             setattr(parent, sub.rsplit(".", 1)[-1], m)
+        # data.transforms would pull fvcore.transforms; whole-model parity
+        # never applies augmentations, so an empty module satisfies
+        # detection_utils' ``from . import transforms as T``
+        tr = types.ModuleType("detectron2.data.transforms")
+        sys.modules["detectron2.data.transforms"] = tr
+        sys.modules["detectron2.data"].transforms = tr
 
 
 @pytest.fixture(scope="session")
@@ -141,6 +360,69 @@ def ref():
     ns.box_regression = importlib.import_module("detectron2.modeling.box_regression")
     ns.matcher = importlib.import_module("detectron2.modeling.matcher")
     ns.layers = importlib.import_module("detectron2.layers")
+    return ns
+
+
+@pytest.fixture(scope="session")
+def ref_full(ref):
+    """Reference namespace extended with whole-model imports: the fork's own
+    CenterNet meta-arch (centernet.py), RetinaNet (retinanet.py) and the
+    FastRCNNOutputs machinery (roi_heads/fast_rcnn.py), runnable on CPU."""
+    import importlib
+
+    torch = ref.torch
+    ns = ref
+    # the fork's _neg_loss hardcodes .cuda() (centernet.py:342-349); torch
+    # here is CPU-only, so .cuda() becomes identity for the golden runs
+    torch.Tensor.cuda = lambda self, *a, **k: self
+
+    # populate the path-only package stubs with the attributes the
+    # meta-arch modules from-import
+    structures = sys.modules["detectron2.structures"]
+    for leaf, names in {
+        "boxes": ("Boxes", "BoxMode", "pairwise_iou"),
+        "image_list": ("ImageList",),
+        "instances": ("Instances",),
+        "keypoints": ("Keypoints", "heatmaps_to_keypoints"),
+        "masks": ("BitMasks", "PolygonMasks", "polygons_to_bitmask"),
+        "rotated_boxes": ("RotatedBoxes",),
+    }.items():
+        mod = importlib.import_module(f"detectron2.structures.{leaf}")
+        for n in names:
+            setattr(structures, n, getattr(mod, n))
+
+    backbone_pkg = sys.modules["detectron2.modeling.backbone"]
+    bb_build = importlib.import_module("detectron2.modeling.backbone.build")
+    dla = importlib.import_module("detectron2.modeling.backbone.dla")
+    fpn = importlib.import_module("detectron2.modeling.backbone.fpn")
+    for mod, names in (
+        (bb_build, ("build_backbone", "BACKBONE_REGISTRY")),
+        (ref.resnet, ("ResNet", "build_resnet_backbone")),
+        (dla, ("DLA", "DLAUp", "IDAUp", "DLA34", "build_dla34_backbone")),
+        (fpn, ("FPN", "build_resnet_fpn_backbone", "build_retinanet_resnet_fpn_backbone")),
+    ):
+        for n in names:
+            setattr(backbone_pkg, n, getattr(mod, n))
+
+    modeling = sys.modules["detectron2.modeling"]
+    for leaf, names in {
+        "postprocessing": ("detector_postprocess",),
+        "anchor_generator": ("build_anchor_generator", "DefaultAnchorGenerator"),
+        "box_regression": ("Box2BoxTransform",),
+        "matcher": ("Matcher",),
+    }.items():
+        mod = importlib.import_module(f"detectron2.modeling.{leaf}")
+        for n in names:
+            setattr(modeling, n, getattr(mod, n))
+
+    ns.catalog = importlib.import_module("detectron2.data.catalog")
+    ns.detection_utils = importlib.import_module("detectron2.data.detection_utils")
+    ns.centernet = importlib.import_module("detectron2.modeling.meta_arch.centernet")
+    # no egress: ImageNet-pretrained init becomes a no-op load
+    ns.centernet.model_zoo.load_url = lambda url, **kw: {}
+    ns.retinanet = importlib.import_module("detectron2.modeling.meta_arch.retinanet")
+    ns.fast_rcnn = importlib.import_module("detectron2.modeling.roi_heads.fast_rcnn")
+    ns.postprocessing = importlib.import_module("detectron2.modeling.postprocessing")
     return ns
 
 
