@@ -282,9 +282,10 @@ class RetinaNet:
             cls_list, box_list = args
             cand_boxes, cand_scores, cand_classes = [], [], []
             for lg, bx, anc in zip(cls_list, box_list, anchors_per_level):
-                hwa_c = lg.size
                 scores = jax.nn.sigmoid(lg.reshape(-1).astype(jnp.float32))
-                k = min(self.topk_candidates, scores.shape[0])
+                # reference bounds the per-level candidate count by the
+                # ANCHOR count, not anchors*classes (retinanet.py:349)
+                k = min(self.topk_candidates, int(anc.shape[0]), scores.shape[0])
                 top_scores, idx = jax.lax.top_k(scores, k)
                 anchor_idx = idx // self.num_classes
                 cls_idx = (idx % self.num_classes).astype(jnp.int32)

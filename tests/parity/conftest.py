@@ -423,6 +423,7 @@ def ref_full(ref):
     ns.retinanet = importlib.import_module("detectron2.modeling.meta_arch.retinanet")
     ns.fast_rcnn = importlib.import_module("detectron2.modeling.roi_heads.fast_rcnn")
     ns.postprocessing = importlib.import_module("detectron2.modeling.postprocessing")
+    ns.events = importlib.import_module("detectron2.utils.events")
     return ns
 
 
