@@ -293,9 +293,29 @@ class DefaultTrainer(SimpleTrainer):
             variables = model.variables
             mesh = get_mesh(cfg.TPU.NUM_DEVICES, cfg.TPU.MESH_AXIS)
 
-        predict = jax.jit(
+        # Shard batched eval over every chip in the mesh (reference shards
+        # eval by rank via InferenceSampler, evaluator.py:101): the batch
+        # axis carries the data PartitionSpec, so XLA splits each eval batch
+        # across devices. The eval batch is rounded up to a device multiple
+        # and the loop's trailing-batch padding covers the remainder.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        eval_bs = max(1, cfg.TEST.BATCH_SIZE)
+        eval_bs = -(-eval_bs // n_dev) * n_dev
+        if eval_bs != cfg.TEST.BATCH_SIZE:
+            cfg = cfg.clone()
+            cfg.defrost()
+            cfg.TEST.BATCH_SIZE = eval_bs
+            cfg.freeze()
+        data_sharding = NamedSharding(mesh, P(cfg.TPU.MESH_AXIS))
+        jit_predict = jax.jit(
             lambda images, *extra: model.predict_fn(variables, images, *extra)
         )
+
+        def predict(images, *extra):
+            put = lambda a: jax.device_put(jax.numpy.asarray(a), data_sharding)
+            return jit_predict(put(images), *[put(e) for e in extra])
 
         results = OrderedDict()
         for idx, dataset_name in enumerate(cfg.DATASETS.TEST):
@@ -314,7 +334,7 @@ class DefaultTrainer(SimpleTrainer):
                 data_loader,
                 evaluator,
                 postprocess=model.postprocess,
-                batch_size=max(1, cfg.TEST.BATCH_SIZE),
+                batch_size=eval_bs,
             )
             results[dataset_name] = results_i
             if comm.is_main_process():
