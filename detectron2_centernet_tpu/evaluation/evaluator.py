@@ -25,6 +25,9 @@ logger = logging.getLogger(__name__)
 
 __all__ = ["DatasetEvaluator", "DatasetEvaluators", "inference_on_dataset"]
 
+# timing of the most recent inference_on_dataset call (benchmark harnesses)
+LAST_INFERENCE_STATS: dict = {}
+
 
 class DatasetEvaluator:
     def reset(self) -> None:
@@ -72,6 +75,49 @@ def _pad_batch(batch: Dict[str, np.ndarray], size: int) -> Dict[str, np.ndarray]
     return out
 
 
+# batch keys the device program consumes (everything else stays host-side)
+_DEVICE_KEYS = ("image", "proposal_boxes", "proposal_valid")
+
+
+def _h2d_prefetch(data_loader, batch_size):
+    """Iterate (batch, device_arrays, n_valid) with host->device transfers
+    running one batch ahead in a background thread.
+
+    The H2D copy of a full eval batch can rival or exceed device compute
+    (on this host's relayed TPU it is the single largest eval cost);
+    overlapping it with the previous batch's compute + host postprocess
+    pipelines all three stages."""
+    import queue as _queue
+    import threading
+
+    import jax
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=2)
+
+    def worker():
+        try:
+            for batch in iter(data_loader):
+                n_valid = batch["image"].shape[0]
+                if batch_size is not None and n_valid < batch_size:
+                    batch = _pad_batch(batch, batch_size)
+                dev = {k: jax.device_put(batch[k]) for k in _DEVICE_KEYS if k in batch}
+                jax.block_until_ready(list(dev.values()))  # start the copy now
+                q.put((batch, dev, n_valid))
+        except Exception as e:  # surface loader/transfer errors
+            q.put(e)
+        finally:
+            q.put(None)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, Exception):
+            raise item
+        yield item
+
+
 def inference_on_dataset(
     predict_fn: Callable,
     data_loader,
@@ -100,30 +146,14 @@ def inference_on_dataset(
     total = 0
     idx = -1
 
-    start_data_time = time.perf_counter()
-    for idx, batch in enumerate(iter(data_loader)):
-        total_data_time += time.perf_counter() - start_data_time
-        if idx == num_warmup:
-            start_time = time.perf_counter()
-            total_compute_time = 0.0
-            total_eval_time = 0.0
-
-        n_valid = batch["image"].shape[0]
-        if batch_size is not None and n_valid < batch_size:
-            batch = _pad_batch(batch, batch_size)
-
-        start_compute_time = time.perf_counter()
-        if "proposal_boxes" in batch:
-            # precomputed-proposal workflow (MODEL.LOAD_PROPOSALS)
-            dets = predict_fn(
-                batch["image"], batch["proposal_boxes"], batch["proposal_valid"]
-            )
-        else:
-            dets = predict_fn(batch["image"])
-        dets = {k: np.asarray(v) for k, v in dets.items()}  # host fetch = fence
-        total_compute_time += time.perf_counter() - start_compute_time
-
-        start_eval_time = time.perf_counter()
+    def _finish(pending):
+        """Fetch a dispatched batch's detections and run the host side.
+        Returns (fetch_seconds, host_seconds)."""
+        nonlocal total
+        dets_dev, batch, n_valid = pending
+        t0 = time.perf_counter()
+        dets = {k: np.asarray(v) for k, v in dets_dev.items()}  # fence
+        t1 = time.perf_counter()
         heights = np.asarray(batch["height"]).reshape(-1)
         widths = np.asarray(batch["width"]).reshape(-1)
         orig_sizes = [(int(h), int(w)) for h, w in zip(heights, widths)][:n_valid]
@@ -144,9 +174,40 @@ def inference_on_dataset(
             for i in range(n_valid)
         ]
         evaluator.process(inputs, outputs)
-        total_eval_time += time.perf_counter() - start_eval_time
-
         total += n_valid
+        return t1 - t0, time.perf_counter() - t1
+
+    # The loop is software-pipelined: batch k's predict is DISPATCHED (JAX
+    # dispatch is async) before batch k-1's results are fetched and fed to
+    # the evaluator, so device compute overlaps host postprocess/eval work
+    # (and the loader's prefetch thread overlaps both).
+    pending = None
+    start_data_time = time.perf_counter()
+    for idx, (batch, dev, n_valid) in enumerate(
+        _h2d_prefetch(data_loader, batch_size)
+    ):
+        total_data_time += time.perf_counter() - start_data_time
+        if idx == num_warmup:
+            start_time = time.perf_counter()
+            total_compute_time = 0.0
+            total_eval_time = 0.0
+
+        start_compute_time = time.perf_counter()
+        if "proposal_boxes" in dev:
+            # precomputed-proposal workflow (MODEL.LOAD_PROPOSALS)
+            dets_dev = predict_fn(
+                dev["image"], dev["proposal_boxes"], dev["proposal_valid"]
+            )
+        else:
+            dets_dev = predict_fn(dev["image"])
+        total_compute_time += time.perf_counter() - start_compute_time
+
+        if pending is not None:
+            fetch_s, host_s = _finish(pending)
+            total_compute_time += fetch_s
+            total_eval_time += host_s
+        pending = (dets_dev, batch, n_valid)
+
         iters_after_start = idx + 1 - num_warmup * int(idx >= num_warmup)
         if idx >= num_warmup and iters_after_start > 0:
             compute_per_img = total_compute_time / max(total, 1)
@@ -157,6 +218,11 @@ def inference_on_dataset(
                 n=5,
             )
         start_data_time = time.perf_counter()
+
+    if pending is not None:
+        fetch_s, host_s = _finish(pending)
+        total_compute_time += fetch_s
+        total_eval_time += host_s
 
     total_time = time.perf_counter() - start_time
     num_images = max(total, 1)
@@ -170,6 +236,28 @@ def inference_on_dataset(
         "Total inference pure compute time: %s (%.6f s / img per device)",
         str(datetime.timedelta(seconds=int(total_compute_time))),
         total_compute_time / num_images,
+    )
+    logger.info(
+        "Inference breakdown: data %.4f s/img, compute %.4f s/img, "
+        "eval %.4f s/img over %d images",
+        total_data_time / num_images,
+        total_compute_time / num_images,
+        total_eval_time / num_images,
+        num_images,
+    )
+    # machine-readable stats for benchmark harnesses (tools/benchmark.py,
+    # bench.py): post-warmup wall covers images processed after the timer
+    # reset at batch ``num_warmup`` (pipeline already full = sustained rate)
+    warm_images = max(total - num_warmup * (batch_size or 1), 0)
+    LAST_INFERENCE_STATS.clear()
+    LAST_INFERENCE_STATS.update(
+        total_images=total,
+        data_s=total_data_time,
+        compute_s=total_compute_time,
+        eval_s=total_eval_time,
+        warm_wall_s=total_time,
+        warm_images=warm_images,
+        sustained_img_s=(warm_images / total_time if total_time > 0 else 0.0),
     )
 
     results = evaluator.evaluate()
