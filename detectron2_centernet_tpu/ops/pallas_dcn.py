@@ -564,6 +564,122 @@ def _bwd_dw_kernel(
     dew_ref[...] += dew_acc
 
 
+def _bwd_dqdw_kernel(
+    qy_ref, qx_ref, m_ref,
+    ewt_ref,  # (9*cin, cout)
+    x_ref,  # (1, H, cin, Wp)
+    g_ref,  # (1, r_blk, cout, Wp)
+    dq_ref,  # out (3, 1, r_blk, 3, 3*Wp) f32 — [dqy, dqx, dm] planes
+    dew_ref,  # out (cout, 9*cin) f32, accumulated across the whole grid
+    vfull,  # VMEM scratch (9*cin, Wp)
+    *,
+    h, wp, w_img, cin, cout, sub, v_window, r_blk,
+):
+    """Fused dOffset/dMask + dW backward: one tent recompute and ONE
+    ``g3 = Xsub @ hxt`` MXU pass feed both cotangents (the split kernels
+    each redid that contraction — the single largest backward cost)."""
+    b = pl.program_id(0)
+    rb = pl.program_id(1)
+    r0 = rb * r_blk
+    cdt = x_ref.dtype
+
+    @pl.when(jnp.logical_and(b == 0, rb == 0))
+    def _():
+        dew_ref[...] = jnp.zeros(dew_ref.shape, dew_ref.dtype)
+
+    xiota, subiota, same_img = _make_iotas(wp, sub, w_img)
+    cr = _row_chunk(sub, cin)
+    for j in range(r_blk):
+        g_j = g_ref[0, j].astype(cdt)
+        dvfull = _dot(ewt_ref[:], g_j, ((1,), (0,)), cdt).astype(cdt)
+        dq_rows = []
+        for gi in range(3):
+            a = jnp.clip(r0 + j + (gi - 1) - v_window, 0, h - sub)
+            hxt, dtx, ty3, tenty, dty = _bwd_common(
+                qx_ref[0, j, gi : gi + 1].reshape(1, 3 * wp),
+                qy_ref[0, j, gi : gi + 1].reshape(1, 3 * wp),
+                m_ref[0, j, gi : gi + 1].reshape(1, 3 * wp),
+                a, xiota, subiota, same_img, w_img, wp,
+            )
+            hxt = hxt.astype(cdt)
+            dv3 = _dv3_of(dvfull, gi, cin)
+            dh3 = jnp.zeros((wp, 3 * wp), jnp.float32)
+            dqy3 = jnp.zeros((1, 3 * wp), jnp.float32)
+            dm3 = jnp.zeros((1, 3 * wp), jnp.float32)
+            v3 = jnp.zeros((cin, 3 * wp), jnp.float32)
+            for i0 in range(0, sub, cr):
+                rows = min(cr, sub - i0)
+                xs = x_ref[0, pl.ds(a + i0, rows)].reshape(rows * cin, wp)
+                g3 = _dot(xs, hxt, ((1,), (0,)), cdt).astype(cdt)
+                # --- dq side ---
+                dg3 = jnp.concatenate(
+                    [dv3 * ty3[i : i + 1].astype(cdt)
+                     for i in range(i0, i0 + rows)],
+                    axis=0,
+                )
+                dh3 = dh3 + _dot(xs, dg3, ((0,), (0,)), cdt)
+                pmat = jnp.concatenate(
+                    [g3[(i - i0) * cin : (i - i0 + 1) * cin] * dv3
+                     for i in range(i0, i0 + rows)],
+                    axis=0,
+                )
+                sel = (
+                    jax.lax.broadcasted_iota(jnp.int32, (rows, rows * cin), 0)
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (rows, rows * cin), 1
+                    ) // cin
+                ).astype(cdt)
+                dtyv = _dot(sel, pmat, ((1,), (0,)), cdt)  # (rows, 3Wp)
+                dqy3 = dqy3 + jnp.sum(
+                    dtyv * dty[i0 : i0 + rows], axis=0, keepdims=True
+                )
+                dm3 = dm3 + jnp.sum(
+                    dtyv * tenty[i0 : i0 + rows], axis=0, keepdims=True
+                )
+                # --- dW side: vertical fold of the SAME g3 ---
+                for i in range(i0, i0 + rows):
+                    v3 = v3 + (
+                        g3[(i - i0) * cin : (i - i0 + 1) * cin]
+                        * ty3[i : i + 1].astype(cdt)
+                    ).astype(jnp.float32)
+            dqx3 = jnp.sum(dh3 * dtx, axis=0, keepdims=True)
+            dq_rows.append((dqy3, dqx3, dm3))
+            for t in range(3):
+                k = gi * 3 + t
+                vfull[k * cin : (k + 1) * cin, :] = (
+                    v3[:, t * wp : (t + 1) * wp].astype(vfull.dtype)
+                )
+        for comp in range(3):
+            dq_ref[comp, 0, j] = jnp.concatenate(
+                [dq_rows[gi][comp] for gi in range(3)], axis=0
+            )
+        dew_ref[...] += _dot(g_j, vfull[:], ((1,), (1,)), cdt)
+
+
+def _fused_bwd_vmem_bytes(h, wp, cin, cout, sub, r_blk, itemsize) -> int:
+    """Rough VMEM footprint of the fused dq+dw kernel (blocks + the large
+    temporaries); used to fall back to the split passes near the 16 MB
+    scoped-VMEM limit (the cin=512 DLAUp stage is borderline)."""
+    cr = _row_chunk(sub, cin)
+    blocks = (
+        3 * r_blk * 3 * 3 * wp * 4          # q/m blocks (f32)
+        + 9 * cin * cout * itemsize          # ewt
+        + h * cin * wp * itemsize            # x image block
+        + r_blk * cout * wp * itemsize       # g block
+        + 3 * r_blk * 3 * 3 * wp * 4         # dq out
+        + cout * 9 * cin * 4                 # dew out
+        + 9 * cin * wp * itemsize            # vfull scratch
+    )
+    temps = (
+        9 * cin * wp * 4                     # dvfull
+        + cin * 3 * wp * itemsize            # dv3
+        + wp * 3 * wp * 4                    # dh3
+        + cin * 3 * wp * 4                   # v3
+        + 3 * (cr * cin * 3 * wp * itemsize) # xs/g3/dg3/pmat working set
+    )
+    return blocks + temps
+
+
 def _backward_impl(x, offset, mask, weight, gout, v_window, interpret):
     n, h, w, cin = x.shape
     cout = weight.shape[-1]
@@ -595,9 +711,10 @@ def _backward_impl(x, offset, mask, weight, gout, v_window, interpret):
         (1, r_blk, cout, wp), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
     )
 
-    # three lean passes instead of one kernel: the monolithic backward held
-    # the f32 dX image block, the x block, dEW and the (sub*cin, 3Wp)
-    # temporaries at once and blew scoped VMEM at the cin=512 DLAUp stage
+    # dX stays its own lean pass (it holds the f32 dX image block); dq and
+    # dW fuse into one kernel sharing the tent + g3 recompute whenever the
+    # fused working set clears scoped VMEM (cin=512 DLAUp stages fall back
+    # to the split passes)
     dx_t = pl.pallas_call(
         functools.partial(_bwd_dx_kernel, **dims),
         grid=grid,
@@ -607,30 +724,55 @@ def _backward_impl(x, offset, mask, weight, gout, v_window, interpret):
         interpret=interpret,
     )(qy_p, qx_p, m_p, ewt, g_t)
 
-    dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, **dims),
-        grid=grid,
-        in_specs=[qspec, qspec, qspec, ewt_spec, ximg_spec, g_spec],
-        out_specs=pl.BlockSpec(
-            (3, 1, r_blk, 3, 3 * wp),
-            lambda b, r: (0, b, r, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((3, nb, h, 3, 3 * wp), jnp.float32),
-        interpret=interpret,
-    )(qy_p, qx_p, m_p, ewt, x_t, g_t)
+    dq_spec = pl.BlockSpec(
+        (3, 1, r_blk, 3, 3 * wp),
+        lambda b, r: (0, b, r, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dew_spec = pl.BlockSpec(
+        (cout, 9 * cin), lambda b, r: (0, 0), memory_space=pltpu.VMEM
+    )
+    fused_bytes = _fused_bwd_vmem_bytes(
+        h, wp, cin, cout, d["sub"], r_blk, jnp.dtype(x.dtype).itemsize
+    )
+    import os
 
-    dew = pl.pallas_call(
-        functools.partial(_bwd_dw_kernel, **dims),
-        grid=grid,
-        in_specs=[qspec, qspec, qspec, ximg_spec, g_spec],
-        out_specs=pl.BlockSpec(
-            (cout, 9 * cin), lambda b, r: (0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((cout, 9 * cin), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((9 * cin, wp), x.dtype)],
-        interpret=interpret,
-    )(qy_p, qx_p, m_p, x_t, g_t)
+    fused_env = os.environ.get("PALLAS_DCN_FUSED_BWD", "auto")
+    use_fused = (
+        fused_bytes <= 13 * 2 ** 20 if fused_env == "auto" else fused_env == "1"
+    )
+    if use_fused:
+        dq, dew = pl.pallas_call(
+            functools.partial(_bwd_dqdw_kernel, **dims),
+            grid=grid,
+            in_specs=[qspec, qspec, qspec, ewt_spec, ximg_spec, g_spec],
+            out_specs=[dq_spec, dew_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((3, nb, h, 3, 3 * wp), jnp.float32),
+                jax.ShapeDtypeStruct((cout, 9 * cin), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((9 * cin, wp), x.dtype)],
+            interpret=interpret,
+        )(qy_p, qx_p, m_p, ewt, x_t, g_t)
+    else:
+        dq = pl.pallas_call(
+            functools.partial(_bwd_dq_kernel, **dims),
+            grid=grid,
+            in_specs=[qspec, qspec, qspec, ewt_spec, ximg_spec, g_spec],
+            out_specs=dq_spec,
+            out_shape=jax.ShapeDtypeStruct((3, nb, h, 3, 3 * wp), jnp.float32),
+            interpret=interpret,
+        )(qy_p, qx_p, m_p, ewt, x_t, g_t)
+
+        dew = pl.pallas_call(
+            functools.partial(_bwd_dw_kernel, **dims),
+            grid=grid,
+            in_specs=[qspec, qspec, qspec, ximg_spec, g_spec],
+            out_specs=dew_spec,
+            out_shape=jax.ShapeDtypeStruct((cout, 9 * cin), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((9 * cin, wp), x.dtype)],
+            interpret=interpret,
+        )(qy_p, qx_p, m_p, x_t, g_t)
 
     n_orig = d["n_orig"]
     dx = _unpack_img(dx_t, d["n"], p, w)[:n_orig].astype(x.dtype)

@@ -122,6 +122,28 @@ def test_vjp_packed_gradients():
         )
 
 
+def test_vjp_split_backward_matches_fused(monkeypatch):
+    """The split dq/dw passes (VMEM fallback at cin=512) must produce the
+    same gradients as the fused dq+dw kernel."""
+    from detectron2_centernet_tpu.ops.pallas_dcn import dcn_conv_pallas_ad
+
+    x, off, mask, wgt, bias = _inputs(n=1, h=8, w=32, c=8, co=8, seed=4)
+
+    def loss_of(impl_flag):
+        monkeypatch.setenv("PALLAS_DCN_FUSED_BWD", impl_flag)
+
+        def loss(xx, oo, mm, ww):
+            out = dcn_conv_pallas_ad(xx, oo, mm, ww, bias, v_window=3, interpret=True)
+            return (out * out).sum()
+
+        return jax.grad(loss, argnums=(0, 1, 2, 3))(x, off, mask, wgt)
+
+    g_fused = loss_of("1")
+    g_split = loss_of("0")
+    for a, b in zip(g_fused, g_split):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_supported_predicate():
     assert pallas_dcn_supported((1, 16, 32, 8), interpret=True)
     assert pallas_dcn_supported((1, 16, 32, 8))  # lane-packs w/ batch padding
