@@ -94,6 +94,7 @@ class DeformConvV2(nn.Module):
     impl: str = "auto"  # "auto" | "exact" | "window" | "pallas"
     v_window: int = 3  # pallas vertical offset coverage (max 3: 8-row band)
     dtype: Any = jnp.float32
+    interpret: bool = False  # run the Pallas kernels interpreted (CPU tests)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -135,24 +136,11 @@ class DeformConvV2(nn.Module):
         use_pallas = (
             self.impl == "pallas"
             or (self.impl == "auto" and jax.default_backend() == "tpu")
-        ) and pallas_dcn_supported(x.shape, v_window=self.v_window, dtype=self.dtype)
-        if use_pallas and train:
-            # custom-VJP MXU kernel: Pallas forward + mirror Pallas backward
-            y = dcn_conv_pallas_ad(
-                x, offset, mask, kernel.astype(self.dtype), bias,
-                v_window=self.v_window,
-            )
-        elif use_pallas:
-            y = dcn_conv_pallas(
-                x, offset, mask, kernel.astype(self.dtype), bias,
-                v_window=self.v_window,
-            )
-        else:
-            y = modulated_deform_conv(
-                x, offset, mask, kernel.astype(self.dtype), bias,
-                window=self.window,
-            )
-        y = nn.BatchNorm(
+        ) and pallas_dcn_supported(
+            x.shape, v_window=self.v_window, dtype=self.dtype,
+            interpret=self.interpret,
+        )
+        bn = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
@@ -161,8 +149,37 @@ class DeformConvV2(nn.Module):
             # (deform_conv.py:514); we keep the conventional ones-init, which
             # dominates U(0,1) in expectation and trains identically.
             name="bn",
-        )(y)
-        return nn.relu(y)
+        )
+        if use_pallas and train:
+            # custom-VJP MXU kernel: Pallas forward + mirror Pallas backward
+            y = dcn_conv_pallas_ad(
+                x, offset, mask, kernel.astype(self.dtype), bias,
+                v_window=self.v_window, interpret=self.interpret,
+            )
+        elif use_pallas:
+            # inference fast path: fold conv-bias + BatchNorm + ReLU into the
+            # kernel epilogue.  The BN affine (a, b) is extracted by probing
+            # the *standard* flax BatchNorm with [0, 1] per channel — the
+            # module (and its variable tree) stays byte-identical to the
+            # train path, so checkpoints and goldens are unaffected:
+            #   bn(0) = b,  bn(1) - bn(0) = a,  bn(y) = a*y + b
+            probe = bn(jnp.stack([
+                jnp.zeros((self.features,), self.dtype),
+                jnp.ones((self.features,), self.dtype),
+            ])[:, None, None, :])
+            b = probe[0, 0, 0].astype(jnp.float32)
+            a = (probe[1, 0, 0].astype(jnp.float32) - b)
+            return dcn_conv_pallas(
+                x, offset, mask, kernel.astype(self.dtype),
+                v_window=self.v_window, interpret=self.interpret,
+                post_scale=a, post_shift=a * bias + b, post_relu=True,
+            )
+        else:
+            y = modulated_deform_conv(
+                x, offset, mask, kernel.astype(self.dtype), bias,
+                window=self.window,
+            )
+        return nn.relu(bn(y))
 
 
 def _bilinear_kernel(f: int) -> np.ndarray:

@@ -77,11 +77,8 @@ def _kernel(
     qy_ref,  # (1, r_blk, 3, 3*Wp) f32 — absolute vertical sample positions
     qx_ref,  # (1, r_blk, 3, 3*Wp) f32 — absolute (packed) horizontal positions
     m_ref,  # (1, r_blk, 3, 3*Wp) f32 — modulation mask
-    ew_ref,  # (cout, 9*cin) — conv weight, tap-major
-    x_ref,  # (1, H, cin, Wp) — one packed image, whole-height VMEM block
-    o_ref,  # (1, r_blk, cout, Wp)
-    vfull,  # VMEM scratch (9*cin, Wp)
-    *,
+    ewt_ref,  # (9*cin, cout) — conv weight, tap-major, pre-transposed
+    *rest,  # [scale_ref (1,cout) f32, shift_ref (1,cout) f32,] x_ref, o_ref, vfull
     h: int,
     wp: int,
     w_img: int,
@@ -90,7 +87,14 @@ def _kernel(
     sub: int,
     v_window: int,
     r_blk: int,
+    epilogue: bool = False,
+    relu: bool = False,
+    nhwc_out: bool = True,
 ):
+    if epilogue:
+        scale_ref, shift_ref, x_ref, o_ref, vfull = rest
+    else:
+        x_ref, o_ref, vfull = rest
     r0 = pl.program_id(1) * r_blk
     f32 = jnp.float32
     cdt = x_ref.dtype
@@ -107,6 +111,26 @@ def _kernel(
         ) // w_img
         same_img = (xiota.astype(jnp.int32) // w_img) == lane_img
 
+    # bf16 models build the tents in bf16 from an integer-base constant:
+    # C[x, lane] = x - nominal(lane) is integer-valued (exact in bf16 up to
+    # 256) and the per-row residual delta = q - nominal is just the offset,
+    # so |C - delta| carries the same ~2^-8 relative position quantization
+    # the bf16 path already accepts for offsets (PARITY dev 10) — while the
+    # tent build runs at twice the VPU vector throughput.  The kernel is
+    # VPU-bound between MXU dots, so this is a direct win.  Cross-image
+    # entries of packed maps are pre-masked INTO the constant (tent of a
+    # huge |C| is exactly 0), removing the where() pass.  f32 models keep
+    # the f32 build for bit-parity with the exact op.
+    bf16_tent = cdt == jnp.bfloat16
+    if bf16_tent:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * wp), 1)
+        nominal = (lane % wp + lane // wp - 1).astype(f32)  # (1, 3wp)
+        c_base = xiota - nominal
+        if w_img != wp:
+            c_base = jnp.where(same_img, c_base, 4096.0)
+        c_base = c_base.astype(cdt)  # (wp, 3wp) integer-valued
+        sub_c = subiota.astype(cdt)  # (sub, 1)
+
     hiprec = (
         jax.lax.Precision.HIGHEST if cdt == jnp.float32 else jax.lax.Precision.DEFAULT
     )
@@ -119,21 +143,31 @@ def _kernel(
             a = jnp.clip(r0 + j + (g - 1) - v_window, 0, h - sub)
             xs = x_ref[0, pl.ds(a, sub)].reshape(sub * cin, wp)
             qx3 = qx_j[g : g + 1]  # (1, 3*Wp)
-            hxt = jnp.maximum(0.0, 1.0 - jnp.abs(xiota - qx3))
-            if w_img != wp:
-                hxt = jnp.where(same_img, hxt, 0.0)
+            if bf16_tent:
+                delta3 = (qx3 - nominal).astype(cdt)  # = off_x, small
+                hxt = jnp.maximum(0.0, 1.0 - jnp.abs(c_base - delta3))
+            else:
+                hxt_f = jnp.maximum(0.0, 1.0 - jnp.abs(xiota - qx3))
+                if w_img != wp:
+                    hxt_f = jnp.where(same_img, hxt_f, 0.0)
+                hxt = hxt_f.astype(cdt)
             g3 = jax.lax.dot_general(
                 xs,
-                hxt.astype(cdt),
+                hxt,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=f32,  # Mosaic requires 32-bit acc
                 precision=hiprec,
             ).astype(cdt)  # [(row, c), (t, x')]
             # vertical tent on absolute row coords (correct zero-padding),
             # modulation folded in; <=2 rows are non-zero per output pixel
-            rowc = subiota + a.astype(f32)  # (sub, 1)
-            ty3 = (jnp.maximum(0.0, 1.0 - jnp.abs(rowc - qy_j[g : g + 1])) *
-                   m_j[g : g + 1]).astype(g3.dtype)  # (sub, 3*Wp)
+            if bf16_tent:
+                dy3 = (qy_j[g : g + 1] - a.astype(f32)).astype(cdt)
+                ty3 = (jnp.maximum(0.0, 1.0 - jnp.abs(sub_c - dy3)) *
+                       m_j[g : g + 1].astype(cdt))  # (sub, 3*Wp)
+            else:
+                rowc = subiota + a.astype(f32)  # (sub, 1)
+                ty3 = (jnp.maximum(0.0, 1.0 - jnp.abs(rowc - qy_j[g : g + 1])) *
+                       m_j[g : g + 1]).astype(g3.dtype)  # (sub, 3*Wp)
             v3 = g3[0:cin] * ty3[0:1]
             for i in range(1, sub):
                 v3 = v3 + g3[i * cin : (i + 1) * cin] * ty3[i : i + 1]
@@ -142,13 +176,39 @@ def _kernel(
                 vfull[k * cin : (k + 1) * cin, :] = (
                     v3[:, t * wp : (t + 1) * wp].astype(vfull.dtype)
                 )
-        acc = jax.lax.dot_general(
-            ew_ref[:],
-            vfull[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-            precision=hiprec,
-        )  # (cout, Wp)
+        if nhwc_out:
+            # NHWC epilogue (cout a lane-tile multiple): contract with the
+            # weight in (Wp, cout) orientation so the output leaves the
+            # kernel in the consumer's layout and the host-side unpack only
+            # permutes untiled (batch-slot) axes — no C<->W relayout pass
+            # over HBM.  Both operands contract on their sublane dim
+            # (A^T B), the MXU-native form — no in-kernel relayout.
+            acc = jax.lax.dot_general(
+                vfull[:],
+                ewt_ref[:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=hiprec,
+            )  # (Wp, cout)
+        else:
+            # narrow cout (< 128 lanes) would lane-pad the NHWC write to 2x
+            # the bytes; emit (cout, Wp) and let XLA transpose instead
+            acc = jax.lax.dot_general(
+                ewt_ref[:],
+                vfull[:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=hiprec,
+            )  # (cout, Wp)
+        if epilogue:
+            # fused inference tail: folded conv-bias + BatchNorm affine
+            # (and ReLU) applied on the f32 accumulator before the only
+            # HBM write — saves the separate elementwise pass XLA cannot
+            # fuse into a custom call.  scale/shift arrive pre-shaped for
+            # the output orientation: (1, cout) or (cout, 1).
+            acc = acc * scale_ref[:] + shift_ref[:]
+            if relu:
+                acc = jnp.maximum(acc, 0.0)
         o_ref[0, j] = acc.astype(o_ref.dtype)
 
 
@@ -254,6 +314,15 @@ def _unpack_img(o_t, n, p, w):
     return o_t.transpose(0, 1, 3, 2)
 
 
+def _unpack_img_nhwc(o, n, p, w):
+    """(nb, H, Wp, C) -> (N, H, W, C): only the packing-slot axis moves
+    (untiled dims), the (W, C) lane/sublane layout is already final."""
+    nb, h, wp, c = o.shape
+    if p > 1:
+        o = o.reshape(nb, h, p, w, c).transpose(0, 2, 1, 3, 4).reshape(n, h, w, c)
+    return o
+
+
 def _unpack_q(q, n, p, w):
     """(nb, H, 3, 3*Wp) -> (N, H, W, 9) (inverse of ``pack_q`` + transpose)."""
     nb, h, _, _ = q.shape
@@ -270,7 +339,10 @@ def _tap_major_weight(weight, dtype):
     )
 
 
-def _forward_impl(x, offset, mask, weight, v_window, interpret):
+def _forward_impl(
+    x, offset, mask, weight, v_window, interpret,
+    post_scale=None, post_shift=None, post_relu=False,
+):
     n, h, w, cin = x.shape
     cout = weight.shape[-1]
     assert pallas_dcn_supported(
@@ -279,7 +351,11 @@ def _forward_impl(x, offset, mask, weight, v_window, interpret):
     assert offset.shape == (n, h, w, 18) and mask.shape == (n, h, w, 9)
     qy_p, qx_p, m_p, x_t, d = _prepare(x, offset, mask, v_window)
     wp, nb, r_blk = d["wp"], d["nb"], d["r_blk"]
-    ew = _tap_major_weight(weight, x.dtype)
+    ewt = _tap_major_weight(weight, x.dtype).T  # (9cin, cout)
+    epilogue = post_scale is not None
+    # narrow cout would lane-pad the NHWC output tile (2x HBM bytes);
+    # measured slower than the (cout, Wp) layout + XLA transpose
+    nhwc_out = cout % 128 == 0
 
     kernel = functools.partial(
         _kernel,
@@ -291,10 +367,24 @@ def _forward_impl(x, offset, mask, weight, v_window, interpret):
         sub=d["sub"],
         v_window=v_window,
         r_blk=r_blk,
+        epilogue=epilogue,
+        relu=post_relu,
+        nhwc_out=nhwc_out,
     )
     qspec = pl.BlockSpec(
         (1, r_blk, 3, 3 * wp), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
     )
+    ep_operands, ep_specs = (), ()
+    if epilogue:
+        ep_shape = (1, cout) if nhwc_out else (cout, 1)
+        ep_operands = (
+            post_scale.astype(jnp.float32).reshape(ep_shape),
+            post_shift.astype(jnp.float32).reshape(ep_shape),
+        )
+        ep_specs = (
+            pl.BlockSpec(ep_shape, lambda b, r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(ep_shape, lambda b, r: (0, 0), memory_space=pltpu.VMEM),
+        )
     out = pl.pallas_call(
         kernel,
         grid=(nb, h // r_blk),
@@ -303,8 +393,9 @@ def _forward_impl(x, offset, mask, weight, v_window, interpret):
             qspec,
             qspec,
             pl.BlockSpec(
-                (cout, 9 * cin), lambda b, r: (0, 0), memory_space=pltpu.VMEM
+                (9 * cin, cout), lambda b, r: (0, 0), memory_space=pltpu.VMEM
             ),
+            *ep_specs,
             # whole packed image resident in VMEM; same block for every row
             # step, so the pipeline fetches it once per image
             pl.BlockSpec(
@@ -312,18 +403,25 @@ def _forward_impl(x, offset, mask, weight, v_window, interpret):
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, r_blk, cout, wp), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
+            (1, r_blk, wp, cout) if nhwc_out else (1, r_blk, cout, wp),
+            lambda b, r: (b, r, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((nb, h, cout, wp), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (nb, h, wp, cout) if nhwc_out else (nb, h, cout, wp), x.dtype
+        ),
         scratch_shapes=[
             pltpu.VMEM((9 * cin, wp), x.dtype),
         ],
         interpret=interpret,
-    )(qy_p, qx_p, m_p, ew, x_t)
-    return _unpack_img(out, d["n"], d["p"], w)[: d["n_orig"]]
+    )(qy_p, qx_p, m_p, ewt, *ep_operands, x_t)
+    unpack = _unpack_img_nhwc if nhwc_out else _unpack_img
+    return unpack(out, d["n"], d["p"], w)[: d["n_orig"]]
 
 
-@functools.partial(jax.jit, static_argnames=("v_window", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("v_window", "interpret", "post_relu")
+)
 def dcn_conv_pallas(
     x: jnp.ndarray,  # (N, H, W, Cin)
     offset: jnp.ndarray,  # (N, H, W, 18) f32, (dy, dx) per tap row-major
@@ -332,8 +430,21 @@ def dcn_conv_pallas(
     bias=None,  # (Cout,)
     v_window: int = V_WINDOW_DEFAULT,
     interpret: bool = False,
+    post_scale=None,  # (Cout,) f32 — fused epilogue: out*scale + shift
+    post_shift=None,  # (Cout,) f32
+    post_relu: bool = False,
 ) -> jnp.ndarray:
-    """Full modulated-deform-conv forward (SAME padding, stride 1)."""
+    """Full modulated-deform-conv forward (SAME padding, stride 1).
+
+    ``post_scale``/``post_shift``/``post_relu`` fuse an inference-time
+    per-channel affine + ReLU (e.g. a folded BatchNorm) into the kernel's
+    HBM write; ``bias`` is folded into ``post_shift`` by the caller in that
+    mode (pass bias=None)."""
+    if post_scale is not None:
+        return _forward_impl(
+            x, offset, mask, weight, v_window, interpret,
+            post_scale=post_scale, post_shift=post_shift, post_relu=post_relu,
+        )
     out = _forward_impl(x, offset, mask, weight, v_window, interpret)
     if bias is not None:
         out = out + bias.astype(out.dtype)

@@ -59,6 +59,58 @@ def test_zero_offsets_equal_plain_conv_path():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
+@pytest.mark.parametrize("co", [16, 128])  # (cout, Wp) and NHWC out layouts
+def test_fused_epilogue_matches_bias_affine_relu(co):
+    """post_scale/post_shift/post_relu fold conv-bias + BN-affine + ReLU
+    into the kernel's HBM write; must equal the unfused composition (both
+    the narrow-cout (cout, Wp) layout and the lane-tiled NHWC layout)."""
+    x, off, mask, wgt, bias = _inputs(co=co, off_scale=2.0)
+    rng = np.random.RandomState(7)
+    a = jnp.asarray(np.abs(rng.randn(co)) + 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(co), jnp.float32)
+    got = dcn_conv_pallas(
+        x, off, mask, wgt, None, v_window=3, interpret=True,
+        post_scale=a, post_shift=a * bias + b, post_relu=True,
+    )
+    plain = dcn_conv_pallas(x, off, mask, wgt, bias, v_window=3, interpret=True)
+    ref = jnp.maximum(plain * a + b, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_deform_conv_v2_eval_fold_matches_exact_module():
+    """DeformConvV2's inference fast path (BN probe + fused kernel epilogue)
+    must match the exact-impl module bit-for-bit at the test tolerance —
+    same variable tree, same outputs."""
+    from detectron2_centernet_tpu.models.layers import DeformConvV2
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 16, 32, 8), jnp.float32)
+    mod_p = DeformConvV2(features=16, impl="pallas", interpret=True)
+    mod_e = DeformConvV2(features=16, impl="exact")
+    variables = mod_p.init(jax.random.PRNGKey(0), x)
+    # non-trivial BN stats + conv weights so the fold actually does work;
+    # the offset conv gets a SMALL perturbation so vertical offsets stay
+    # inside the v_window band where pallas == exact
+    variables = jax.tree_util.tree_map(
+        lambda v: v + jnp.asarray(
+            np.abs(rng.randn(*v.shape)) * 0.3 + 0.05, v.dtype
+        ),
+        variables,
+    )
+    variables = dict(variables)
+    com = variables["params"]["conv_offset_mask"]
+    variables["params"] = dict(
+        variables["params"],
+        conv_offset_mask={k: v * 0.05 for k, v in com.items()},
+    )
+    got = mod_p.apply(variables, x, train=False)
+    ref = mod_e.apply(variables, x, train=False)
+    assert set(variables["params"].keys()) == {
+        "conv_offset_mask", "kernel", "bias", "bn",
+    }
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
 def test_drop_far_vertical_semantics():
     """Vertical samples beyond the band contribute zero (documented
     "drop-far" deviation from the clamping window path)."""
