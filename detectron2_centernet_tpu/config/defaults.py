@@ -364,6 +364,10 @@ def _dataloader_defaults() -> CN:
 def _solver_defaults() -> CN:
     s = CN()
     s.LR_SCHEDULER_NAME = "WarmupMultiStepLR"
+    # "SGD" (reference solver/build.py:93-138) or "ADAM" (the upstream
+    # CenterNet recipe for focal-loss heads; not in the reference fork,
+    # which approximates it with very-low-LR SGD)
+    s.OPTIMIZER = "SGD"
     s.MAX_ITER = 40000
     s.BASE_LR = 0.001
     s.MOMENTUM = 0.9

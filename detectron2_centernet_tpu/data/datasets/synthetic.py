@@ -22,7 +22,11 @@ from .builtin_meta import COCO_CATEGORIES
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["ensure_synthetic_datasets", "register_synthetic_instances"]
+__all__ = [
+    "ensure_synthetic_datasets",
+    "register_synthetic_instances",
+    "register_learnable_instances",
+]
 
 _NUM_KPTS = 17
 
@@ -134,6 +138,80 @@ def register_synthetic_instances(
         )
 
 
+_LEARNABLE_COLORS = np.array(
+    [[220, 40, 40], [40, 220, 40], [40, 40, 220]], np.uint8
+)  # class identity IS the color: classification is learnable
+
+
+def register_learnable_instances(
+    name: str,
+    num_images: int = 24,
+    image_size: Tuple[int, int] = (128, 128),
+    max_objs: int = 3,
+    num_classes: int = 3,
+    seed: int = 0,
+) -> None:
+    """Synthetic scenes a small detector can actually master.
+
+    ``register_synthetic_instances`` draws the category INDEPENDENTLY of
+    appearance (fine for smoke schedules, hopeless for accuracy tests);
+    here each class has a fixed color and boxes don't overlap, so a short
+    training run reaching high AP is a meaningful regression signal
+    (the training_acc_test analog, reference quick_schedules)."""
+    h, w = image_size
+
+    def load():
+        rng = np.random.RandomState(seed)
+        dicts = []
+        for i in range(num_images):
+            img = np.full((h, w, 3), 32, np.uint8)
+            annos = []
+            # 2x2 grid of cells; boxes fill 40-90% of a cell per side, so
+            # aspect ratios stay within the default anchor set's [0.5, 2]
+            # and sizes sit on the P3/P4 anchors (a detector that can't
+            # match a GT to any anchor can't learn it, whatever the loss)
+            cell_w, cell_h = w // 2, h // 2
+            cells = rng.permutation(4)[: rng.randint(1, max_objs + 1)]
+            for j in cells:
+                cat = int(rng.randint(0, num_classes))
+                bw = int(rng.randint(int(cell_w * 0.4), int(cell_w * 0.9)))
+                bh = int(rng.randint(int(cell_h * 0.4), int(cell_h * 0.9)))
+                x0 = (int(j) % 2) * cell_w + int(rng.randint(0, cell_w - bw))
+                y0 = (int(j) // 2) * cell_h + int(rng.randint(0, cell_h - bh))
+                img[y0 : y0 + bh, x0 : x0 + bw] = _LEARNABLE_COLORS[cat]
+                poly = [
+                    float(x0), float(y0), float(x0 + bw), float(y0),
+                    float(x0 + bw), float(y0 + bh), float(x0), float(y0 + bh),
+                ]
+                annos.append(
+                    {
+                        "bbox": [float(x0), float(y0), float(bw), float(bh)],
+                        "bbox_mode": 1,  # XYWH_ABS
+                        "category_id": cat,
+                        "iscrowd": 0,
+                        "segmentation": [poly],
+                    }
+                )
+            dicts.append(
+                {
+                    "image": img,
+                    "file_name": f"synthetic://{name}/{i}.png",
+                    "height": h,
+                    "width": w,
+                    "image_id": i,
+                    "annotations": annos,
+                }
+            )
+        return dicts
+
+    DatasetCatalog.register(name, load)
+    MetadataCatalog.get(name).set(
+        thing_classes=[f"color_{i}" for i in range(num_classes)],
+        evaluator_type="coco",
+        synthetic=True,
+    )
+
+
 def ensure_synthetic_datasets(names: Iterable[str]) -> None:
     """Register synthetic stand-ins for any unregistered-or-unloadable
     builtin names (quick_schedules use *_val_100 and panoptic variants)."""
@@ -150,6 +228,12 @@ def ensure_synthetic_datasets(names: Iterable[str]) -> None:
                     MetadataCatalog.remove(name)
                 except Exception:
                     pass
+        if name.startswith("synth_learnable"):
+            # the training-accuracy dataset (class == color, no overlap);
+            # train and test on the same scenes, like the reference's
+            # *training_acc_test.yaml reusing coco_2017_val_100
+            register_learnable_instances(name)
+            continue
         register_synthetic_instances(
             name,
             keypoints="keypoint" in name,

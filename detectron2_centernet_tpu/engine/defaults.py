@@ -230,12 +230,27 @@ class DefaultTrainer(SimpleTrainer):
                 )
             )
 
+        if cfg.TEST.PRECISE_BN.ENABLED:
+            # before EvalHook so the recomputed statistics feed the same-step
+            # eval (reference engine/defaults.py:355: PreciseBN on the eval
+            # period, skipped silently when the model has no BN stats)
+            ret.append(
+                hooks.PreciseBN(
+                    cfg.TEST.EVAL_PERIOD,
+                    self.build_train_loader(cfg),
+                    cfg.TEST.PRECISE_BN.NUM_ITER,
+                )
+            )
+
         def test_and_save_results():
             self._last_eval_results = self.test(self.cfg, self)
             return self._last_eval_results
 
-        if cfg.TEST.EVAL_PERIOD > 0:
-            ret.append(hooks.EvalHook(cfg.TEST.EVAL_PERIOD, test_and_save_results))
+        # always registered: EvalHook fires at the final iteration even when
+        # EVAL_PERIOD == 0 (reference engine/defaults.py:361 + hooks.py EvalHook
+        # docstring "and after the last iteration"); this is what makes
+        # TEST.EXPECTED_RESULTS enforceable in *training_acc_test configs
+        ret.append(hooks.EvalHook(cfg.TEST.EVAL_PERIOD, test_and_save_results))
         if comm.is_main_process():
             ret.append(hooks.PeriodicWriter(self.build_writers(), period=20))
         return ret

@@ -245,19 +245,28 @@ class PreciseBN(HookBase):
             )
             return mutated["batch_stats"]
 
+        from ..models.layers import BN_MOMENTUM
+
         fwd = jax.jit(forward_stats)
         running = None
         n = 0
         for _ in range(self._num_iter):
             batch = next(self._data_iter)
             new_stats = fwd(state.params, state.batch_stats, jnp.asarray(batch["image"]))
-            # EMA-free true average of the *per-batch* statistics: undo the
-            # momentum by differencing successive EMA values is fragile, so
-            # average the post-update stats directly (equivalent as iters grow)
+            # every BN applies new = m*base + (1-m)*batch with the SAME
+            # fixed base (state.batch_stats), so the batch statistics are
+            # recovered exactly; averaging those is fvcore
+            # update_bn_stats' momentum=1.0 plain average (reference
+            # hooks.py:357-418)
+            batch_stats = jax.tree_util.tree_map(
+                lambda new, base: (new - BN_MOMENTUM * base) / (1.0 - BN_MOMENTUM),
+                new_stats,
+                state.batch_stats,
+            )
             running = (
-                new_stats
+                batch_stats
                 if running is None
-                else jax.tree_util.tree_map(lambda a, b: a + b, running, new_stats)
+                else jax.tree_util.tree_map(lambda a, b: a + b, running, batch_stats)
             )
             n += 1
         avg = jax.tree_util.tree_map(lambda x: x / n, running)
@@ -265,8 +274,10 @@ class PreciseBN(HookBase):
         logger.info("PreciseBN updated batch statistics over %d iters", n)
 
     def after_step(self):
+        # like EvalHook: fires on the period AND at the final iteration even
+        # with period 0, so stats are precise for the end-of-training eval
         next_iter = self.trainer.iter + 1
-        if self._period > 0 and (
-            next_iter % self._period == 0 or next_iter == self.trainer.max_iter
-        ):
+        if (
+            self._period > 0 and next_iter % self._period == 0
+        ) or next_iter == self.trainer.max_iter:
             self._update_stats()

@@ -78,20 +78,42 @@ def _sgd_group(schedule: Callable, lr_factor: float, weight_decay: float, moment
     )
 
 
+def _adam_group(schedule: Callable, lr_factor: float, weight_decay: float):
+    """One Adam parameter group (torch Adam semantics: L2 added to the
+    gradient before the moment updates, like the upstream CenterNet recipe)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
+        optax.adam(learning_rate=lambda step: schedule(step) * lr_factor),
+    )
+
+
 def build_optimizer(cfg: CfgNode, params) -> optax.GradientTransformation:
-    """SGD+momentum with reference per-group WD/LR overrides + clipping.
+    """Per-group optimizer with reference WD/LR overrides + clipping.
+
+    ``SOLVER.OPTIMIZER`` selects SGD+momentum (the reference
+    ``build_optimizer``, solver/build.py:93-138) or Adam — the optimizer the
+    upstream CenterNet training recipe uses for its focal-loss heads, which
+    the reference fork approximates with very-low-LR SGD (its ctdet configs
+    pin BASE_LR 2.5e-4 over 364k iters).
 
     ``params`` is the model params pytree (used only for group labeling).
     """
     s = cfg.SOLVER
     schedule = build_lr_scheduler(cfg)
-    groups = {
-        "default": _sgd_group(schedule, 1.0, s.WEIGHT_DECAY, s.MOMENTUM, s.NESTEROV),
-        "norm": _sgd_group(schedule, 1.0, s.WEIGHT_DECAY_NORM, s.MOMENTUM, s.NESTEROV),
-        "bias": _sgd_group(
-            schedule, s.BIAS_LR_FACTOR, s.WEIGHT_DECAY_BIAS, s.MOMENTUM, s.NESTEROV
-        ),
-    }
+    if s.OPTIMIZER.upper() == "ADAM":
+        groups = {
+            "default": _adam_group(schedule, 1.0, s.WEIGHT_DECAY),
+            "norm": _adam_group(schedule, 1.0, s.WEIGHT_DECAY_NORM),
+            "bias": _adam_group(schedule, s.BIAS_LR_FACTOR, s.WEIGHT_DECAY_BIAS),
+        }
+    else:
+        groups = {
+            "default": _sgd_group(schedule, 1.0, s.WEIGHT_DECAY, s.MOMENTUM, s.NESTEROV),
+            "norm": _sgd_group(schedule, 1.0, s.WEIGHT_DECAY_NORM, s.MOMENTUM, s.NESTEROV),
+            "bias": _sgd_group(
+                schedule, s.BIAS_LR_FACTOR, s.WEIGHT_DECAY_BIAS, s.MOMENTUM, s.NESTEROV
+            ),
+        }
     tx = optax.multi_transform(groups, param_group_labels)
 
     clip = s.CLIP_GRADIENTS

@@ -1,4 +1,5 @@
 #!/bin/bash -e
+set -e  # effective even when invoked as `bash <script>` (shebang flags skipped)
 # Inference accuracy regression runs (reference dev/run_inference_tests.sh):
 # evaluates released weights and enforces TEST.EXPECTED_RESULTS.
 BIN="python tools/train_net.py"

@@ -1,4 +1,5 @@
 #!/bin/bash -e
+set -e  # effective even when invoked as `bash <script>` (shebang flags skipped)
 # ~40-iteration smoke training runs (reference dev/run_instant_tests.sh).
 #
 # With no datasets on disk, set DETECTRON2_SYNTH_DATA=1 to train each

@@ -62,3 +62,23 @@ def test_build_optimizer_steps():
     updates, _ = tx.update(grads, state, params)
     np.testing.assert_allclose(np.asarray(updates["conv"]["kernel"]), -0.1, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(updates["conv"]["bias"]), -0.1, rtol=1e-6)
+
+
+def test_build_optimizer_adam():
+    """SOLVER.OPTIMIZER=ADAM: first step moves by ~lr per coordinate (Adam
+    normalizes the gradient), bias group scaled by BIAS_LR_FACTOR."""
+    cfg = get_cfg()
+    cfg.SOLVER.OPTIMIZER = "ADAM"
+    cfg.SOLVER.BASE_LR = 0.01
+    cfg.SOLVER.WARMUP_ITERS = 0
+    cfg.SOLVER.WEIGHT_DECAY = 0.0
+    cfg.SOLVER.WEIGHT_DECAY_BIAS = 0.0
+    cfg.SOLVER.BIAS_LR_FACTOR = 2.0
+    params = {"conv": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones(2)}}
+    tx = build_optimizer(cfg, params)
+    state = tx.init(params)
+    grads = {"conv": {"kernel": jnp.full((2, 2), 3.0), "bias": jnp.full(2, 3.0)}}
+    updates, _ = tx.update(grads, state, params)
+    # adam step 0: -lr * m_hat / (sqrt(v_hat) + eps) = -lr * sign(g)
+    np.testing.assert_allclose(np.asarray(updates["conv"]["kernel"]), -0.01, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(updates["conv"]["bias"]), -0.02, rtol=1e-4)
