@@ -150,6 +150,13 @@ class DeformConvV2(nn.Module):
             # dominates U(0,1) in expectation and trains identically.
             name="bn",
         )
+        # the mirror backward kernels only fit the 16 MB scoped-VMEM budget
+        # at 2-byte compute width (measured on v5e: every f32 DLA shape OOMs
+        # even at r_blk=1, bf16 fits with margin); f32 training falls back
+        # to the exact gather+GEMM op under XLA autodiff
+        pallas_train = self.dtype == jnp.bfloat16 or self.interpret
+        if use_pallas and train and not pallas_train:
+            use_pallas = False
         if use_pallas and train:
             # custom-VJP MXU kernel: Pallas forward + mirror Pallas backward
             y = dcn_conv_pallas_ad(

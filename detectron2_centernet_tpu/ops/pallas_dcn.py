@@ -849,8 +849,14 @@ def _backward_impl(x, offset, mask, weight, gout, v_window, interpret):
     import os
 
     fused_env = os.environ.get("PALLAS_DCN_FUSED_BWD", "auto")
+    # Mosaic's real stack usage runs ~1.4x the estimate at bf16 and >3x at
+    # f32 (unrolled-loop temporaries double with itemsize and don't share
+    # slots); measured on v5e: every f32 DLA shape OOMs scoped VMEM even at
+    # r_blk=1, so the fused path is gated to 2-byte compute widths
     use_fused = (
-        fused_bytes <= 13 * 2 ** 20 if fused_env == "auto" else fused_env == "1"
+        (fused_bytes <= 13 * 2 ** 20 and jnp.dtype(x.dtype).itemsize == 2)
+        if fused_env == "auto"
+        else fused_env == "1"
     )
     if use_fused:
         dq, dew = pl.pallas_call(

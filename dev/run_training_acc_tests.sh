@@ -13,6 +13,7 @@ CFG_LIST=( "${@:1}" )
 if [ ${#CFG_LIST[@]} -eq 0 ]; then
   CFG_LIST=(
     ./configs/quick_schedules/ctdet_synth_training_acc_test.yaml
+    ./configs/quick_schedules/ctdet_dla_synth_training_acc_test.yaml
     ./configs/quick_schedules/retinanet_synth_training_acc_test.yaml
     ./configs/quick_schedules/mask_rcnn_synth_training_acc_test.yaml
   )
