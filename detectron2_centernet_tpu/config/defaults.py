@@ -64,7 +64,21 @@ def _model_defaults() -> CN:
     m.CENTERNET = _centernet_defaults()
     m.VOVNET = _vovnet_defaults()
     m.RESNETS = _resnets_defaults()
+    m.TRIDENT = _trident_defaults()
     return m
+
+
+def _trident_defaults() -> CN:
+    """TridentNet branch config (reference projects/TridentNet/tridentnet/
+    config.py:13-26; folded into the main tree like CENTERNET/VOVNET)."""
+    t = CN()
+    t.NUM_BRANCH = 3
+    t.BRANCH_DILATIONS = [1, 2, 3]
+    t.TRIDENT_STAGE = "res4"
+    # -1 aggregates all branches at inference (full TridentNet); >=0 runs a
+    # single branch (TridentNet Fast; 1 = the recommended middle branch)
+    t.TEST_BRANCH_IDX = 1
+    return t
 
 
 def _rpn_defaults() -> CN:

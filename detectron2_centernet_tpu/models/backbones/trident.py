@@ -32,8 +32,15 @@ class TridentBottleneckBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False, num_branch: int = 3):
-        """x: (B*num_branch, H, W, C) branch-folded (or (B,...) single)."""
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        num_branch: int = 3,
+        branch_idx: int = -1,
+    ):
+        """x: (B*num_branch, H, W, C) branch-folded (or (B,...) single;
+        ``branch_idx`` selects the dilation then, -1 = middle)."""
         cin = x.shape[-1]
         s1, s3 = (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
         out = nn.Conv(self.bottleneck_channels, (1, 1), strides=s1, use_bias=False,
@@ -57,8 +64,8 @@ class TridentBottleneckBlock(nn.Module):
             )
 
         if num_branch == 1:
-            mid = len(self.dilations) // 2
-            out = branch_conv(out, self.dilations[mid])
+            idx = branch_idx if branch_idx >= 0 else len(self.dilations) // 2
+            out = branch_conv(out, self.dilations[idx])
         else:
             b = out.shape[0] // num_branch
             parts = [
@@ -84,10 +91,17 @@ class TridentResNet(nn.Module):
     """ResNet through res3, then the weight-shared trident res4 stage.
 
     Output dict has ``res4`` with batch 3N while ``train`` (branch-folded,
-    dilations 1/2/3) and batch N at eval (middle branch only)."""
+    dilations 1/2/3). At eval: ``test_branch_idx >= 0`` runs that single
+    branch on batch N (TridentNet Fast); ``test_branch_idx == -1`` (full
+    TridentNet, reference TEST_BRANCH_IDX=-1) expects the CALLER to tile
+    the image batch to 3N — the trident stage then applies each branch's
+    dilation to its batch fold (stem/res2/res3 recompute per fold; the
+    redundancy is the price of keeping one static batch shape)."""
 
     depth: int = 50
     num_branch: int = 3
+    dilations: Sequence[int] = (1, 2, 3)
+    test_branch_idx: int = 1
     out_features: Sequence[str] = ("res4",)
     res2_out_channels: int = 256
     stem_out_channels: int = 64
@@ -119,24 +133,34 @@ class TridentResNet(nn.Module):
             out_channels *= 2
             bottleneck *= 2
 
-        # trident res4: fold branches into batch while training
-        nb = self.num_branch if train else 1
-        if nb > 1:
+        # trident res4: fold branches into batch while training; at eval
+        # full-test mode (test_branch_idx == -1) the batch arrives pre-tiled
+        if train:
+            nb = self.num_branch
             x = jnp.tile(x, (nb, 1, 1, 1))
+        elif self.test_branch_idx < 0:
+            nb = self.num_branch
+        else:
+            nb = 1
         for b in range(stage_reps[2]):
             x = TridentBottleneckBlock(
                 out_channels, bottleneck, stride=(2 if b == 0 else 1),
+                dilations=tuple(self.dilations),
                 stride_in_1x1=self.stride_in_1x1, norm=self.norm,
                 dtype=self.dtype, name=f"res4_block{b}",
-            )(x, train, num_branch=nb)
+            )(x, train, num_branch=nb, branch_idx=self.test_branch_idx)
         return {"res4": x}
 
 
 @BACKBONE_REGISTRY.register()
 def build_trident_resnet_backbone(cfg: CfgNode, dtype: Any = jnp.float32) -> TridentResNet:
     r = cfg.MODEL.RESNETS
+    t = cfg.MODEL.TRIDENT
     return TridentResNet(
         depth=r.DEPTH,
+        num_branch=t.NUM_BRANCH,
+        dilations=tuple(t.BRANCH_DILATIONS),
+        test_branch_idx=t.TEST_BRANCH_IDX,
         out_features=tuple(r.OUT_FEATURES),
         res2_out_channels=r.RES2_OUT_CHANNELS,
         stem_out_channels=r.STEM_OUT_CHANNELS,

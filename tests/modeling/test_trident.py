@@ -62,3 +62,41 @@ def test_trident_rcnn_e2e():
     }
     total, (ld, _) = m.loss_fn(v["params"], v.get("batch_stats", {}), batch)
     assert np.isfinite(float(total))
+
+
+def test_trident_full_test_branch_merge():
+    """TEST_BRANCH_IDX=-1: all branches run on a tiled batch and merge via
+    class-aware NMS (reference merge_branch_instances, trident_rcnn.py:8-44).
+    The merged set must contain the single-branch (Fast) top detection:
+    NMS over the union can only add cross-branch boxes, not lose the
+    middle branch's best one (it suppresses only lower-scored overlaps)."""
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/Misc/trident_fast_R_50_C4_1x.yaml")
+    cfg.DATASETS.TRAIN = ()
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 32
+    cfg.MODEL.RESNETS.STEM_OUT_CHANNELS = 16
+    cfg.MODEL.RESNETS.WIDTH_PER_GROUP = 8
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 3
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 40
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 20
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.0
+    cfg.TEST.DETECTIONS_PER_IMAGE = 8
+    cfg.TPU.DTYPE = "float32"
+
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.rand(2, 64, 64, 3) * 255, jnp.float32)
+
+    m_fast = build_model(cfg)
+    v = m_fast.init(jax.random.PRNGKey(0), (64, 64))
+    fast = m_fast.predict_fn(v, img)
+
+    cfg.MODEL.TRIDENT.TEST_BRANCH_IDX = -1
+    m_full = build_model(cfg)
+    full = m_full.predict_fn(v, img)  # same params: backbone is weight-shared
+
+    assert full["boxes"].shape == fast["boxes"].shape == (2, 8, 4)
+    # the Fast branch's best box survives branch merging for each image
+    for i in range(2):
+        fb = np.asarray(fast["boxes"][i][np.argmax(np.asarray(fast["scores"][i]))])
+        dists = np.abs(np.asarray(full["boxes"][i]) - fb).max(axis=1)
+        assert dists.min() < 1e-3, (fb, np.asarray(full["boxes"][i]))
