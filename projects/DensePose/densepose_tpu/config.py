@@ -23,6 +23,15 @@ def add_densepose_config(cfg: CN) -> None:
     c.INDEX_WEIGHTS = 5.0
     c.PART_WEIGHTS = 1.0
     c.POINT_REGRESSION_WEIGHTS = 0.01
+    # confidence estimation (reference densepose/config.py:100-115 +
+    # modeling/confidence.py; Neverova et al., NeurIPS 2019)
+    c.UV_CONFIDENCE = CN()
+    c.UV_CONFIDENCE.ENABLED = False
+    c.UV_CONFIDENCE.TYPE = "iid_iso"  # or "indep_aniso"
+    c.UV_CONFIDENCE.EPSILON = 0.01  # lower bound on sigma^2
+    c.SEGM_CONFIDENCE = CN()
+    c.SEGM_CONFIDENCE.ENABLED = False
+    c.SEGM_CONFIDENCE.EPSILON = 0.01
     # TPU additions: static capacities (reference uses ragged per-instance
     # point lists; XLA needs fixed shapes)
     c.MAX_DP_POINTS = 196  # annotated IUV points per instance

