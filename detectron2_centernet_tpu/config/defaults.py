@@ -178,6 +178,9 @@ def _point_head_defaults() -> CN:
     ph.SUBDIVISION_STEPS = 2
     ph.SUBDIVISION_NUM_POINTS = 196
     ph.IN_FEATURES = ["p2"]
+    # the coarse head PointRendSemSegHead wraps (reference projects/
+    # PointRend/point_rend/config.py COARSE_SEM_SEG_HEAD_NAME)
+    ph.COARSE_SEM_SEG_HEAD_NAME = "SemSegFPNHead"
     return ph
 
 

@@ -103,6 +103,118 @@ class DeepLabV3PlusHead(nn.Module):
         )
 
 
+def _top2_uncertainty(vals: jnp.ndarray) -> jnp.ndarray:
+    """Multi-class uncertainty = -(top1 - top2) logit gap (reference
+    projects/PointRend/point_rend/semantic_seg.py:19-34: higher = more
+    uncertain)."""
+    top2 = jax.lax.top_k(vals, 2)[0]
+    return top2[..., 1] - top2[..., 0]
+
+
+class PointRendSemSegHead(nn.Module):
+    """PointRend semantic segmentation (reference projects/PointRend/
+    point_rend/semantic_seg.py:37-135) with static shapes.
+
+    Training: the paper's biased point sampling (oversample uniform
+    candidates, keep the most top2-uncertain, fill uniformly), a shared
+    point MLP over [fine feature, coarse logits] — returns the coarse
+    logits plus (point_logits, point_coords) so the meta-arch can compute
+    the point CE against nearest-sampled targets.
+
+    Inference: the coarse head here already emits input-resolution logits
+    (unlike the reference's common-stride output), so instead of 2x
+    upsample-then-refine rounds, each subdivision step re-predicts the
+    SUBDIVISION_NUM_POINTS most uncertain grid texels of the full-res map
+    in place — the same compute pattern on the final grid.
+    """
+
+    coarse: nn.Module
+    num_classes: int
+    in_features: Tuple[str, ...] = ("p2",)
+    train_num_points: int = 1024
+    oversample: int = 3
+    importance: float = 0.75
+    subdivision_steps: int = 2
+    subdivision_num_points: int = 8192
+    fc_dim: int = 256
+    num_fc: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Dict[str, jnp.ndarray], train: bool = False):
+        from ..roi_heads.point_head import PointHead, point_sample
+
+        logits = self.coarse(features, train)  # (N, H, W, C) input-res
+        fine = jnp.concatenate([features[f] for f in self.in_features], -1)
+        head = PointHead(
+            num_classes=self.num_classes, fc_dim=self.fc_dim,
+            num_fc=self.num_fc, dtype=self.dtype, name="point_head",
+        )
+        n = logits.shape[0]
+
+        if train:
+            rng = self.make_rng("points")
+
+            def sample_one(lg, key):
+                k = self.oversample * self.train_num_points
+                r1, r2 = jax.random.split(key)
+                cand = jax.random.uniform(r1, (k, 2))
+                u = _top2_uncertainty(point_sample(lg, cand))
+                n_imp = int(self.importance * self.train_num_points)
+                _, idx = jax.lax.top_k(u, n_imp)
+                rand_pts = jax.random.uniform(
+                    r2, (self.train_num_points - n_imp, 2)
+                )
+                return jnp.concatenate([cand[idx], rand_pts], axis=0)
+
+            coords = jax.vmap(sample_one)(
+                logits, jax.random.split(rng, n)
+            )  # (N, P, 2)
+            fine_pts = jax.vmap(point_sample)(fine.astype(jnp.float32), coords)
+            coarse_pts = jax.vmap(point_sample)(logits, coords)
+            point_logits = head(fine_pts, coarse_pts)  # (N, P, C)
+            return logits, point_logits, coords
+
+        refined = logits
+        h, w = refined.shape[1:3]
+        k = min(self.subdivision_num_points, h * w)
+        fine32 = fine.astype(jnp.float32)
+        for _ in range(self.subdivision_steps):
+            flat = refined.reshape(n, h * w, self.num_classes)
+            _, idx = jax.lax.top_k(_top2_uncertainty(flat), k)  # (N, K)
+            ys = (idx // w).astype(jnp.float32)
+            xs = (idx % w).astype(jnp.float32)
+            coords = jnp.stack([(xs + 0.5) / w, (ys + 0.5) / h], axis=2)
+            fine_pts = jax.vmap(point_sample)(fine32, coords)  # (N, K, Cf)
+            coarse_pts = jnp.take_along_axis(
+                flat, idx[..., None], axis=1
+            )  # (N, K, C)
+            new = head(fine_pts, coarse_pts)  # (N, K, C)
+            refined = jax.vmap(
+                lambda fl, ix, nw: fl.at[ix].set(nw)
+            )(flat, idx, new).reshape(refined.shape)
+        return refined
+
+
+def sem_seg_point_loss(
+    point_logits: jnp.ndarray,  # (N, P, C)
+    point_coords: jnp.ndarray,  # (N, P, 2) normalized
+    targets: jnp.ndarray,  # (N, H, W) int
+    ignore_value: int = 255,
+) -> jnp.ndarray:
+    """Point CE against nearest-sampled gt (reference semantic_seg.py:
+    92-105, F.cross_entropy with ignore_index, mean reduction)."""
+    n, h, w = targets.shape
+    xs = jnp.clip((point_coords[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    ys = jnp.clip((point_coords[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    t = jax.vmap(lambda tg, yy, xx: tg[yy, xx])(targets, ys, xs)  # (N, P)
+    valid = t != ignore_value
+    tc = jnp.where(valid, t, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(point_logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, tc[..., None], axis=-1)[..., 0]
+    return jnp.where(valid, ce, 0.0).sum() / jnp.maximum(valid.sum(), 1.0)
+
+
 def sem_seg_loss(logits: jnp.ndarray, targets: jnp.ndarray, ignore_value: int = 255) -> jnp.ndarray:
     """Pixel CE with ignore label (reference semantic_seg.py:184-199)."""
     valid = targets != ignore_value
@@ -130,10 +242,16 @@ class SemanticSegmentor:
         in_features = tuple(s.IN_FEATURES)
 
         strides_map.update({"res2": 4, "res3": 8, "res4": 16, "res5": 32})
+        self.point_rend = s.NAME == "PointRendSemSegHead"
+        coarse_name = (
+            cfg.MODEL.POINT_HEAD.COARSE_SEM_SEG_HEAD_NAME
+            if self.point_rend
+            else s.NAME
+        )
         head_cls = {
             "SemSegFPNHead": SemSegFPNHead,
             "DeepLabV3PlusHead": DeepLabV3PlusHead,
-        }[s.NAME]
+        }[coarse_name]
         head = head_cls(
             in_features=in_features,
             strides=tuple(strides_map[f] for f in in_features),
@@ -142,6 +260,21 @@ class SemanticSegmentor:
             common_stride=int(s.COMMON_STRIDE),
             dtype=dtype,
         )
+        if self.point_rend:
+            ph = cfg.MODEL.POINT_HEAD
+            head = PointRendSemSegHead(
+                coarse=head,
+                num_classes=self.num_classes,
+                in_features=tuple(ph.IN_FEATURES),
+                train_num_points=int(ph.TRAIN_NUM_POINTS),
+                oversample=int(ph.OVERSAMPLE_RATIO),
+                importance=float(ph.IMPORTANCE_SAMPLE_RATIO),
+                subdivision_steps=int(ph.SUBDIVISION_STEPS),
+                subdivision_num_points=int(ph.SUBDIVISION_NUM_POINTS),
+                fc_dim=int(ph.FC_DIM),
+                num_fc=int(ph.NUM_FC),
+                dtype=dtype,
+            )
 
         class _Net(nn.Module):
             backbone: nn.Module
@@ -165,9 +298,24 @@ class SemanticSegmentor:
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        logits, mutated = self.module.apply(
-            variables, self.normalize(batch["image"]), True, mutable=["batch_stats"]
+        rngs = (
+            {"points": batch.get("rng", jax.random.PRNGKey(0))}
+            if self.point_rend
+            else None
         )
+        out, mutated = self.module.apply(
+            variables, self.normalize(batch["image"]), True,
+            mutable=["batch_stats"], rngs=rngs,
+        )
+        if self.point_rend:
+            logits, point_logits, point_coords = out
+            loss = sem_seg_loss(logits, batch["sem_seg"], self.ignore_value) * self.loss_weight
+            ploss = sem_seg_point_loss(
+                point_logits, point_coords, batch["sem_seg"], self.ignore_value
+            )
+            losses = {"loss_sem_seg": loss, "loss_sem_seg_point": ploss}
+            return loss + ploss, (losses, mutated.get("batch_stats", batch_stats))
+        logits = out
         loss = sem_seg_loss(logits, batch["sem_seg"], self.ignore_value) * self.loss_weight
         return loss, ({"loss_sem_seg": loss}, mutated.get("batch_stats", batch_stats))
 

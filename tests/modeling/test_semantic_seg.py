@@ -69,3 +69,49 @@ def test_panoptic_combine():
     assert pan[2, 2] == thing["id"]
     assert pan[7, 7] == stuff["id"]
     assert stuff["category_id"] == 2
+
+
+def test_pointrend_sem_seg_head():
+    """PointRendSemSegHead (reference projects/PointRend/point_rend/
+    semantic_seg.py:37-135): train adds loss_sem_seg_point; inference
+    refines the SUBDIVISION_NUM_POINTS most-uncertain texels in place,
+    leaving all other texels bit-identical to the coarse head."""
+    cfg = _fpn_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "SemanticSegmentor"
+    cfg.MODEL.SEM_SEG_HEAD.NAME = "PointRendSemSegHead"
+    cfg.MODEL.POINT_HEAD.NUM_CLASSES = 6
+    cfg.MODEL.POINT_HEAD.TRAIN_NUM_POINTS = 32
+    cfg.MODEL.POINT_HEAD.SUBDIVISION_STEPS = 1
+    cfg.MODEL.POINT_HEAD.SUBDIVISION_NUM_POINTS = 64
+    cfg.MODEL.POINT_HEAD.FC_DIM = 16
+    m = build_model(cfg)
+    v = m.init(jax.random.PRNGKey(0), (64, 64))
+    assert "point_head" in v["params"]["head"]
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 64, 64, 3) * 255, jnp.float32)
+    batch = {
+        "image": img,
+        "sem_seg": jnp.asarray(rng.randint(0, 6, (2, 64, 64)), jnp.int32),
+        "rng": jax.random.PRNGKey(3),
+    }
+    total, (ld, _) = m.loss_fn(v["params"], v.get("batch_stats", {}), batch)
+    assert "loss_sem_seg_point" in ld and np.isfinite(float(total))
+
+    out = np.asarray(m.predict_fn(v, img)["sem_seg"])
+    assert out.shape == (2, 64, 64, 6)
+
+    # coarse-only baseline: all but <= SUBDIVISION_NUM_POINTS texels match
+    cfg2 = _fpn_cfg()
+    cfg2.MODEL.META_ARCHITECTURE = "SemanticSegmentor"
+    m2 = build_model(cfg2)
+    coarse_params = dict(v["params"])
+    coarse_params["head"] = coarse_params["head"]["coarse"]
+    coarse = np.asarray(
+        m2.predict_fn(
+            {"params": coarse_params, **{k: v[k] for k in v if k != "params"}},
+            img,
+        )["sem_seg"]
+    )
+    diff = (np.abs(out - coarse).max(axis=-1) > 1e-6).sum(axis=(1, 2))
+    assert (diff <= 64).all() and (diff > 0).all(), diff
