@@ -208,6 +208,10 @@ def _sem_seg_head_defaults() -> CN:
     s.COMMON_STRIDE = 4
     s.NORM = "GN"
     s.LOSS_WEIGHT = 1.0
+    # "cross_entropy" or "hard_pixel_mining" (DeepLabCE; reference
+    # projects/DeepLab loss.py:6-40, top-k fraction from LOSS_TOP_K)
+    s.LOSS_TYPE = "cross_entropy"
+    s.LOSS_TOP_K = 0.2
     return s
 
 
@@ -381,6 +385,9 @@ def _dataloader_defaults() -> CN:
 def _solver_defaults() -> CN:
     s = CN()
     s.LR_SCHEDULER_NAME = "WarmupMultiStepLR"
+    # WarmupPolyLR (the DeepLab schedule; reference projects/DeepLab config)
+    s.POLY_LR_POWER = 0.9
+    s.POLY_LR_CONSTANT_ENDING = 0.0
     # "SGD" (reference solver/build.py:93-138) or "ADAM" (the upstream
     # CenterNet recipe for focal-loss heads; not in the reference fork,
     # which approximates it with very-low-LR SGD)

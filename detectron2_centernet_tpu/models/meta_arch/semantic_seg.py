@@ -215,13 +215,29 @@ def sem_seg_point_loss(
     return jnp.where(valid, ce, 0.0).sum() / jnp.maximum(valid.sum(), 1.0)
 
 
-def sem_seg_loss(logits: jnp.ndarray, targets: jnp.ndarray, ignore_value: int = 255) -> jnp.ndarray:
-    """Pixel CE with ignore label (reference semantic_seg.py:184-199)."""
+def sem_seg_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    ignore_value: int = 255,
+    top_k_percent: float = 1.0,
+) -> jnp.ndarray:
+    """Pixel CE with ignore label (reference semantic_seg.py:184-199).
+
+    ``top_k_percent < 1`` enables DeepLabCE hard pixel mining (reference
+    projects/DeepLab/deeplab/loss.py:6-40): the loss averages only the
+    top-k fraction of per-pixel losses (ignored pixels contribute 0 and
+    sort to the bottom, mirroring the torch ignore_index semantics)."""
     valid = targets != ignore_value
     t = jnp.where(valid, targets, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
-    return jnp.where(valid, ce, 0.0).sum() / jnp.maximum(valid.sum(), 1.0)
+    ce = jnp.where(valid, ce, 0.0)
+    if top_k_percent < 1.0:
+        flat = ce.reshape(-1)
+        k = max(1, int(top_k_percent * flat.shape[0]))
+        top, _ = jax.lax.top_k(flat, k)
+        return top.mean()
+    return ce.sum() / jnp.maximum(valid.sum(), 1.0)
 
 
 @META_ARCH_REGISTRY.register()
@@ -231,6 +247,10 @@ class SemanticSegmentor:
         self.num_classes = int(s.NUM_CLASSES)
         self.ignore_value = int(s.IGNORE_VALUE)
         self.loss_weight = float(s.LOSS_WEIGHT)
+        # DeepLabCE hard pixel mining (reference projects/DeepLab loss.py)
+        self.loss_top_k = (
+            float(s.LOSS_TOP_K) if s.LOSS_TYPE == "hard_pixel_mining" else 1.0
+        )
         self.pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
         self.pixel_std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
         dtype = jnp.bfloat16 if cfg.TPU.DTYPE == "bfloat16" else jnp.float32
@@ -309,14 +329,18 @@ class SemanticSegmentor:
         )
         if self.point_rend:
             logits, point_logits, point_coords = out
-            loss = sem_seg_loss(logits, batch["sem_seg"], self.ignore_value) * self.loss_weight
+            loss = sem_seg_loss(
+                logits, batch["sem_seg"], self.ignore_value, self.loss_top_k
+            ) * self.loss_weight
             ploss = sem_seg_point_loss(
                 point_logits, point_coords, batch["sem_seg"], self.ignore_value
             )
             losses = {"loss_sem_seg": loss, "loss_sem_seg_point": ploss}
             return loss + ploss, (losses, mutated.get("batch_stats", batch_stats))
         logits = out
-        loss = sem_seg_loss(logits, batch["sem_seg"], self.ignore_value) * self.loss_weight
+        loss = sem_seg_loss(
+            logits, batch["sem_seg"], self.ignore_value, self.loss_top_k
+        ) * self.loss_weight
         return loss, ({"loss_sem_seg": loss}, mutated.get("batch_stats", batch_stats))
 
     def predict_fn(self, variables, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:

@@ -19,7 +19,7 @@ import jax
 import optax
 
 from ..config import CfgNode
-from .lr_scheduler import warmup_cosine_lr, warmup_multistep_lr
+from .lr_scheduler import warmup_cosine_lr, warmup_multistep_lr, warmup_poly_lr
 
 _NORM_MODULE_NAMES = ("bn", "norm", "gn", "batchnorm", "groupnorm")
 
@@ -58,6 +58,17 @@ def build_lr_scheduler(cfg: CfgNode, name: Optional[str] = None) -> Callable:
         return warmup_cosine_lr(
             cfg.SOLVER.BASE_LR,
             cfg.SOLVER.MAX_ITER,
+            warmup_factor=cfg.SOLVER.WARMUP_FACTOR,
+            warmup_iters=cfg.SOLVER.WARMUP_ITERS,
+            warmup_method=cfg.SOLVER.WARMUP_METHOD,
+        )
+    if name == "WarmupPolyLR":
+        # the DeepLab schedule (reference projects/DeepLab build_solver.py)
+        return warmup_poly_lr(
+            cfg.SOLVER.BASE_LR,
+            cfg.SOLVER.MAX_ITER,
+            power=cfg.SOLVER.POLY_LR_POWER,
+            constant_ending=cfg.SOLVER.POLY_LR_CONSTANT_ENDING,
             warmup_factor=cfg.SOLVER.WARMUP_FACTOR,
             warmup_iters=cfg.SOLVER.WARMUP_ITERS,
             warmup_method=cfg.SOLVER.WARMUP_METHOD,

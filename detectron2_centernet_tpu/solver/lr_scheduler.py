@@ -63,3 +63,34 @@ def warmup_cosine_lr(
         return base_lr * w * cos
 
     return schedule
+
+
+def warmup_poly_lr(
+    base_lr: float,
+    max_iters: int,
+    power: float = 0.9,
+    constant_ending: float = 0.0,
+    warmup_factor: float = 0.001,
+    warmup_iters: int = 1000,
+    warmup_method: str = "linear",
+) -> Callable:
+    """The DeepLab poly schedule (reference projects/DeepLab/deeplab/
+    lr_scheduler.py:17-77): lr = base * warmup * (1 - step/max)^power, with
+    an optional constant tail (factor clamped to ``constant_ending`` once
+    the poly decay falls below it — used to stabilize the final iters)."""
+
+    def schedule(step):
+        step = jnp.asarray(step)
+        w = _warmup_factor(step, warmup_method, warmup_iters, warmup_factor)
+        poly = jnp.power(
+            jnp.clip(1.0 - step.astype(jnp.float32) / max_iters, 0.0, 1.0),
+            power,
+        )
+        if constant_ending > 0:
+            # reference :66-70: constant tail after warmup
+            poly = jnp.where(
+                (w == 1.0) & (poly < constant_ending), constant_ending, poly
+            )
+        return base_lr * w * poly
+
+    return schedule

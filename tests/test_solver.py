@@ -82,3 +82,32 @@ def test_build_optimizer_adam():
     # adam step 0: -lr * m_hat / (sqrt(v_hat) + eps) = -lr * sign(g)
     np.testing.assert_allclose(np.asarray(updates["conv"]["kernel"]), -0.01, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(updates["conv"]["bias"]), -0.02, rtol=1e-4)
+
+
+def test_warmup_poly_lr():
+    """WarmupPolyLR (reference projects/DeepLab lr_scheduler.py): poly decay
+    after warmup, optional constant tail."""
+    import pytest
+
+    from detectron2_centernet_tpu.solver.lr_scheduler import warmup_poly_lr
+
+    s = warmup_poly_lr(0.1, 1000, power=0.9, warmup_iters=10, warmup_factor=0.1)
+    assert float(s(0)) == pytest.approx(0.01, rel=1e-5)  # warmup start
+    assert float(s(500)) == pytest.approx(0.1 * 0.5**0.9, rel=1e-5)
+    assert float(s(1000)) == pytest.approx(0.0, abs=1e-7)
+    s2 = warmup_poly_lr(0.1, 1000, power=0.9, warmup_iters=0, constant_ending=0.05)
+    assert float(s2(999)) == pytest.approx(0.1 * 0.05, rel=1e-5)  # tail clamp
+
+
+def test_sem_seg_hard_pixel_mining():
+    """DeepLabCE (reference projects/DeepLab loss.py:6-40): with top-k=0.5
+    the mean runs over the hardest half only, so it exceeds the plain CE."""
+    import jax.numpy as jnp
+    from detectron2_centernet_tpu.models.meta_arch.semantic_seg import sem_seg_loss
+
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(1, 8, 8, 4), jnp.float32)
+    targets = jnp.asarray(rng.randint(0, 4, (1, 8, 8)), jnp.int32)
+    plain = float(sem_seg_loss(logits, targets))
+    mined = float(sem_seg_loss(logits, targets, top_k_percent=0.5))
+    assert mined > plain
