@@ -300,6 +300,10 @@ def _resnets_defaults() -> CN:
     r.WIDTH_PER_GROUP = 64
     r.STRIDE_IN_1X1 = True
     r.RES5_DILATION = 1
+    # DeepLab trunk options (reference projects/DeepLab config.py:24-28)
+    r.STEM_TYPE = "basic"  # or "deeplab" (3x 3x3-conv stem)
+    r.RES4_DILATION = 1
+    r.RES5_MULTI_GRID = [1, 1, 1]
     r.RES2_OUT_CHANNELS = 256
     r.STEM_OUT_CHANNELS = 64
     r.DEFORM_ON_PER_STAGE = [False, False, False, False]

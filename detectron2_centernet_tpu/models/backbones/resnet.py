@@ -74,6 +74,28 @@ class BasicStem(nn.Module):
         return nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
 
+class DeepLabStem(nn.Module):
+    """3x [3x3 conv + norm + relu] stem + maxpool (reference
+    projects/DeepLab/deeplab/resnet.py:14-69; first conv s2, channels
+    out/2 -> out/2 -> out)."""
+
+    out_channels: int = 128
+    norm: str = "BN"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        half = self.out_channels // 2
+        for i, (ch, s) in enumerate(((half, 2), (half, 1), (self.out_channels, 1))):
+            x = nn.Conv(
+                ch, (3, 3), strides=s, padding=[(1, 1), (1, 1)],
+                use_bias=False, dtype=self.dtype, name=f"conv{i + 1}",
+            )(x)
+            x = _Norm(self.norm, ch, self.dtype, name=f"conv{i + 1}_norm")(x, train)
+            x = nn.relu(x)
+        return nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+
 class BasicBlock(nn.Module):
     """Two 3x3 convs + identity/projection shortcut (reference resnet.py:33)."""
 
@@ -224,6 +246,10 @@ class ResNet(nn.Module):
     res2_out_channels: int = 256
     stride_in_1x1: bool = True
     res5_dilation: int = 1
+    # DeepLab variants (reference projects/DeepLab/deeplab/resnet.py:74-155)
+    stem_type: str = "basic"  # or "deeplab"
+    res4_dilation: int = 1
+    res5_multi_grid: Sequence[int] = (1, 1, 1)
     norm: str = "FrozenBN"
     freeze_at: int = 0
     deform_on_per_stage: Sequence[bool] = (False, False, False, False)
@@ -251,7 +277,8 @@ class ResNet(nn.Module):
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         block_type, stage_reps = RESNET_SPECS[self.depth]
         outputs: Dict[str, jnp.ndarray] = {}
-        x = BasicStem(self.stem_out_channels, self.norm, self.dtype, name="stem")(x, train)
+        stem_cls = DeepLabStem if self.stem_type == "deeplab" else BasicStem
+        x = stem_cls(self.stem_out_channels, self.norm, self.dtype, name="stem")(x, train)
         if self.freeze_at >= 1:
             x = jax.lax.stop_gradient(x)
         if "stem" in self.out_features:
@@ -267,12 +294,22 @@ class ResNet(nn.Module):
             if stage > max_stage:
                 break
             first_stride = 1 if stage == 2 else 2
-            dilation = self.res5_dilation if stage == 5 else 1
+            if stage == 4:
+                dilation = self.res4_dilation
+            elif stage == 5:
+                dilation = self.res5_dilation
+            else:
+                dilation = 1
             if dilation > 1:
                 first_stride = 1
             deform = self.deform_on_per_stage[idx]
             for b in range(reps):
                 stride = first_stride if b == 0 else 1
+                if stage == 5 and tuple(self.res5_multi_grid) != (1, 1, 1):
+                    # per-block multi-grid dilations (reference deeplab
+                    # resnet.py:151: dilation * multi_grid[block])
+                    mg = self.res5_multi_grid[min(b, len(self.res5_multi_grid) - 1)]
+                    dilation = self.res5_dilation * int(mg)
                 if block_type == "basic":
                     x = BasicBlock(
                         out_channels, stride=stride, norm=self.norm,
@@ -316,12 +353,25 @@ def build_resnet(cfg: CfgNode, dtype: Any = jnp.float32, out_features: Optional[
         freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
         deform_on_per_stage=tuple(r.DEFORM_ON_PER_STAGE),
         deform_modulated=bool(r.DEFORM_MODULATED),
+        stem_type=str(r.STEM_TYPE),
+        res4_dilation=int(r.RES4_DILATION),
+        res5_multi_grid=tuple(r.RES5_MULTI_GRID),
         dtype=dtype,
     )
 
 
 @BACKBONE_REGISTRY.register()
 def build_resnet_backbone(cfg: CfgNode, dtype: Any = jnp.float32) -> ResNet:
+    return build_resnet(cfg, dtype)
+
+
+@BACKBONE_REGISTRY.register()
+def build_resnet_deeplab_backbone(cfg: CfgNode, dtype: Any = jnp.float32) -> ResNet:
+    """DeepLab trunk (reference projects/DeepLab/deeplab/resnet.py:74-158):
+    the 3x3x3 DeepLab stem + dilated res4/res5 with multi-grid; output
+    stride set by RES4_DILATION/RES5_DILATION (os16: res5 d=2 mg=(1,2,4))."""
+    r = cfg.MODEL.RESNETS
+    assert r.STEM_TYPE == "deeplab" or r.RES5_DILATION > 1 or r.RES4_DILATION > 1
     return build_resnet(cfg, dtype)
 
 

@@ -115,3 +115,30 @@ def test_pointrend_sem_seg_head():
     )
     diff = (np.abs(out - coarse).max(axis=-1) > 1e-6).sum(axis=(1, 2))
     assert (diff <= 64).all() and (diff > 0).all(), diff
+
+
+def test_deeplab_resnet_trunk():
+    """DeepLab trunk (reference projects/DeepLab/deeplab/resnet.py): 3x3x3
+    stem, dilated res5 with multi-grid -> output stride 16."""
+    import jax
+
+    from detectron2_centernet_tpu.models.backbones.resnet import (
+        build_resnet_deeplab_backbone,
+    )
+
+    cfg = get_cfg()
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 32
+    cfg.MODEL.RESNETS.STEM_OUT_CHANNELS = 32
+    cfg.MODEL.RESNETS.WIDTH_PER_GROUP = 8
+    cfg.MODEL.RESNETS.STEM_TYPE = "deeplab"
+    cfg.MODEL.RESNETS.RES5_DILATION = 2
+    cfg.MODEL.RESNETS.RES5_MULTI_GRID = [1, 2, 4]
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res5"]
+    cfg.MODEL.RESNETS.NORM = "BN"
+    m = build_resnet_deeplab_backbone(cfg)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), False)
+    # 3-conv stem
+    assert "conv3" in v["params"]["stem"]
+    out = m.apply(v, jnp.zeros((1, 64, 64, 3)), False)
+    assert out["res5"].shape[1:3] == (4, 4)  # os16, not os32
