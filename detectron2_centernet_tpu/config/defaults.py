@@ -162,6 +162,13 @@ def _roi_mask_head_defaults() -> CN:
     mh.NORM = ""
     mh.CLS_AGNOSTIC_MASK = False
     mh.POOLER_TYPE = "ROIAlignV2"
+    # CoarseMaskHead (reference projects/PointRend coarse_mask_head.py) +
+    # the POINT_HEAD_ON switch its configs pair with it
+    mh.FC_DIM = 1024
+    mh.NUM_FC = 2
+    mh.OUTPUT_SIDE_RESOLUTION = 7
+    mh.IN_FEATURES = ["p2"]
+    mh.POINT_HEAD_ON = False
     return mh
 
 

@@ -47,6 +47,7 @@ from ..roi_heads.keypoint_head import (
     keypoint_rcnn_loss,
 )
 from ..roi_heads.mask_head import (
+    CoarseMaskHead,
     MaskRCNNConvUpsampleHead,
     crop_gt_masks,
     mask_rcnn_loss,
@@ -82,6 +83,10 @@ class RCNNNetwork(nn.Module):
     mask_on: bool = False
     mask_num_conv: int = 4
     mask_conv_dim: int = 256
+    mask_head_name: str = "MaskRCNNConvUpsampleHead"
+    mask_fc_dim: int = 1024
+    mask_num_fc: int = 2
+    mask_output_side: int = 7
     mask_pooler_resolution: int = 14
     keypoint_on: bool = False
     num_keypoints: int = 17
@@ -142,10 +147,17 @@ class RCNNNetwork(nn.Module):
                 for b in range(self.res5_reps)
             ]
         if self.mask_on:
-            self.mask_head = MaskRCNNConvUpsampleHead(
-                self.num_classes, num_conv=self.mask_num_conv,
-                conv_dim=self.mask_conv_dim, dtype=self.dtype,
-            )
+            if self.mask_head_name == "CoarseMaskHead":
+                self.mask_head = CoarseMaskHead(
+                    self.num_classes, conv_dim=self.mask_conv_dim,
+                    fc_dim=self.mask_fc_dim, num_fc=self.mask_num_fc,
+                    output_side=self.mask_output_side, dtype=self.dtype,
+                )
+            else:
+                self.mask_head = MaskRCNNConvUpsampleHead(
+                    self.num_classes, num_conv=self.mask_num_conv,
+                    conv_dim=self.mask_conv_dim, dtype=self.dtype,
+                )
         if self.keypoint_on:
             self.keypoint_head = KRCNNConvDeconvUpsampleHead(
                 self.num_keypoints, dtype=self.dtype,
@@ -262,6 +274,7 @@ class GeneralizedRCNN:
         rh = cfg.MODEL.ROI_HEADS
         self.roi_type = {
             "StandardROIHeads": "standard",
+            "PointRendROIHeads": "standard",  # reference PointRend ROI head
             "CascadeROIHeads": "cascade",
         }.get(rh.NAME, "res5")
         ch = cfg.MODEL.ROI_BOX_CASCADE_HEAD
@@ -288,8 +301,10 @@ class GeneralizedRCNN:
         self.mask_on = bool(cfg.MODEL.MASK_ON)
         mh = cfg.MODEL.ROI_MASK_HEAD
         self.mask_pooler_resolution = int(mh.POOLER_RESOLUTION)
-        self.point_rend_on = (
-            bool(cfg.MODEL.MASK_ON) and mh.NAME == "PointRendMaskHead"
+        self.point_rend_on = bool(cfg.MODEL.MASK_ON) and (
+            mh.NAME == "PointRendMaskHead"
+            or bool(mh.POINT_HEAD_ON)  # the reference PointRend combo
+            or rh.NAME == "PointRendROIHeads"
         )
         ph = cfg.MODEL.POINT_HEAD
         self.point_train_num = int(ph.TRAIN_NUM_POINTS)
@@ -349,6 +364,10 @@ class GeneralizedRCNN:
             mask_on=self.mask_on,
             mask_num_conv=int(mh.NUM_CONV),
             mask_conv_dim=int(mh.CONV_DIM),
+            mask_head_name=str(mh.NAME),
+            mask_fc_dim=int(mh.FC_DIM),
+            mask_num_fc=int(mh.NUM_FC),
+            mask_output_side=int(mh.OUTPUT_SIDE_RESOLUTION),
             mask_pooler_resolution=int(mh.POOLER_RESOLUTION),
             keypoint_on=self.keypoint_on,
             num_keypoints=self.num_keypoints,

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["MaskRCNNConvUpsampleHead", "crop_gt_masks", "mask_rcnn_loss"]
+__all__ = ["MaskRCNNConvUpsampleHead", "CoarseMaskHead", "crop_gt_masks", "mask_rcnn_loss"]
 
 
 class MaskRCNNConvUpsampleHead(nn.Module):
@@ -40,6 +40,43 @@ class MaskRCNNConvUpsampleHead(nn.Module):
         x = nn.relu(x)
         return nn.Conv(self.num_classes, (1, 1), kernel_init=nn.initializers.normal(0.001),
                        dtype=jnp.float32, name="predictor")(x.astype(jnp.float32))
+
+
+class CoarseMaskHead(nn.Module):
+    """FC-based coarse mask head (reference projects/PointRend/point_rend/
+    coarse_mask_head.py:12-92): reduce channels (1x1) and spatial dims
+    (2x2 s2), then FC layers predict a low-res per-class mask — the coarse
+    stage PointRend refines with its point head."""
+
+    num_classes: int
+    conv_dim: int = 256
+    fc_dim: int = 1024
+    num_fc: int = 2
+    output_side: int = 7
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """(R, P, P, Cin) pooled -> (R, out, out, num_classes) logits."""
+        r, p, _, cin = x.shape
+        if cin > self.conv_dim:
+            x = nn.relu(
+                nn.Conv(self.conv_dim, (1, 1), dtype=self.dtype,
+                        name="reduce_channel_dim_conv")(x)
+            )
+        x = nn.relu(
+            nn.Conv(self.conv_dim, (2, 2), strides=2, dtype=self.dtype,
+                    name="reduce_spatial_dim_conv")(x)
+        )
+        x = x.reshape(r, -1).astype(jnp.float32)
+        for i in range(self.num_fc):
+            x = nn.relu(nn.Dense(self.fc_dim, name=f"coarse_mask_fc{i + 1}")(x))
+        x = nn.Dense(
+            self.num_classes * self.output_side ** 2,
+            kernel_init=nn.initializers.normal(0.001),
+            name="prediction",
+        )(x)
+        return x.reshape(r, self.output_side, self.output_side, self.num_classes)
 
 
 def crop_gt_masks(

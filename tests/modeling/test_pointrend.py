@@ -95,3 +95,54 @@ def test_pointrend_rcnn_e2e():
     dets = m.predict_fn(v, jnp.zeros((1, 64, 64, 3)))
     # one subdivision step doubles the 14x14 mask to 28x28
     assert dets["masks"].shape == (1, 4, 28, 28)
+
+
+def test_coarse_mask_head_pointrend_combo():
+    """The reference PointRend combo (ROI_HEADS.NAME=PointRendROIHeads +
+    ROI_MASK_HEAD.NAME=CoarseMaskHead + POINT_HEAD_ON): the FC coarse head
+    emits OUTPUT_SIDE_RESOLUTION masks and the point head refines them at
+    inference through SUBDIVISION_STEPS 2x rounds."""
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        "projects/PointRend/configs/InstanceSegmentation/Base-PointRend-RCNN-FPN.yaml"
+    )
+    cfg.DATASETS.TRAIN = ()
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 32
+    cfg.MODEL.RESNETS.STEM_OUT_CHANNELS = 16
+    cfg.MODEL.FPN.OUT_CHANNELS = 32
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 3
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 8
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 16
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 8
+    cfg.MODEL.POINT_HEAD.NUM_CLASSES = 3
+    cfg.MODEL.POINT_HEAD.TRAIN_NUM_POINTS = 16
+    cfg.MODEL.POINT_HEAD.SUBDIVISION_STEPS = 2
+    cfg.MODEL.POINT_HEAD.SUBDIVISION_NUM_POINTS = 32
+    cfg.MODEL.ROI_MASK_HEAD.FC_DIM = 32
+    cfg.TEST.DETECTIONS_PER_IMAGE = 4
+    cfg.TPU.DTYPE = "float32"
+    m = build_model(cfg)
+    v = m.init(jax.random.PRNGKey(0), (64, 64))
+    # the FC coarse head is constructed (not the conv-upsample head)
+    assert "coarse_mask_fc1" in v["params"]["mask_head"]
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(1, 64, 64, 3) * 255, jnp.float32)
+    dets = m.predict_fn(v, img)
+    # 7x7 coarse -> 2 subdivision steps -> 28x28 refined masks
+    assert dets["masks"].shape == (1, 4, 28, 28)
+
+    boxes = rng.rand(1, 2, 4).astype(np.float32) * 24
+    boxes[..., 2:] = boxes[..., :2] + 16
+    batch = {
+        "image": img,
+        "gt_boxes": jnp.asarray(boxes),
+        "gt_classes": jnp.asarray(rng.randint(0, 3, (1, 2)), jnp.int32),
+        "gt_valid": jnp.ones((1, 2), bool),
+        "gt_masks": jnp.asarray(rng.rand(1, 8, 16, 16) > 0.5, jnp.float32),
+        "rng": jax.random.PRNGKey(5),
+    }
+    total, (ld, _) = m.loss_fn(v["params"], v.get("batch_stats", {}), batch)
+    assert "loss_mask_point" in ld and "loss_mask" in ld
+    assert np.isfinite(float(total))
