@@ -54,8 +54,13 @@ class KRCNNConvDeconvUpsampleHead(nn.Module):
             x = nn.Conv(d, (3, 3), padding="SAME", kernel_init=w_init,
                         dtype=self.dtype, name=f"conv_fcn{i + 1}")(x)
             x = nn.relu(x)
+        # torch ConvTranspose2d(k=4, s=2, p=1) equivalence: flax padding
+        # k-1-p = 2 per side with transpose_kernel=True (same convention as
+        # ResNetDeconv / DensePose's predictor) — golden-parity-tested
+        # against the reference module
         x = nn.ConvTranspose(
-            self.num_keypoints, (4, 4), strides=(2, 2), padding="SAME",
+            self.num_keypoints, (4, 4), strides=(2, 2),
+            padding=[(2, 2), (2, 2)], transpose_kernel=True,
             dtype=jnp.float32, name="score_lowres",
         )(x.astype(jnp.float32))
         n, h, w, k = x.shape

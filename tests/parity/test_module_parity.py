@@ -389,3 +389,71 @@ def test_retinanet_head_parity(ref):
             np.asarray(deltas[lvl]), to_nhwc(deltas_ref[lvl]), atol=ATOL,
             err_msg=f"deltas l{lvl}",
         )
+
+
+def test_mask_head_parity(ref_full):
+    ref = ref_full
+    """MaskRCNNConvUpsampleHead vs the reference's OWN module
+    (roi_heads/mask_head.py:207-260): conv tower + deconv + 1x1 predictor
+    bit-match after aligner transfer."""
+    torch = ref.torch
+    import importlib
+
+    ref_mh = importlib.import_module("detectron2.modeling.roi_heads.mask_head")
+    from detectron2_centernet_tpu.models.roi_heads.mask_head import (
+        MaskRCNNConvUpsampleHead,
+    )
+
+    ch, num_classes = 16, 5
+    shape = ref.layers.ShapeSpec(channels=ch, height=14, width=14)
+    t = ref_mh.MaskRCNNConvUpsampleHead(
+        shape, num_classes=num_classes, conv_dims=[ch] * 5
+    )
+    seed_torch_module(t)
+    t.eval()
+    g = torch.Generator().manual_seed(3)
+    x = torch.randn(2, ch, 14, 14, generator=g)
+    with torch.no_grad():
+        out_ref = t.layers(x)
+
+    m = MaskRCNNConvUpsampleHead(num_classes, num_conv=4, conv_dim=ch)
+    xj = jnp.asarray(to_nhwc(x))
+    variables = m.init(jax.random.PRNGKey(0), xj)
+    variables = _transfer(t, variables)
+    out = m.apply(variables, xj)
+    np.testing.assert_allclose(np.asarray(out), to_nhwc(out_ref), atol=ATOL)
+
+
+def test_keypoint_head_parity(ref_full):
+    ref = ref_full
+    """KRCNNConvDeconvUpsampleHead vs the reference's OWN module
+    (roi_heads/keypoint_head.py:215-260): conv stack + deconv + 2x bilinear
+    interp (align_corners=False) match after transfer."""
+    torch = ref.torch
+    import importlib
+
+    ref_kh = importlib.import_module(
+        "detectron2.modeling.roi_heads.keypoint_head"
+    )
+    from detectron2_centernet_tpu.models.roi_heads.keypoint_head import (
+        KRCNNConvDeconvUpsampleHead,
+    )
+
+    ch, num_kp = 16, 17
+    shape = ref.layers.ShapeSpec(channels=ch, height=14, width=14)
+    t = ref_kh.KRCNNConvDeconvUpsampleHead(
+        shape, num_keypoints=num_kp, conv_dims=(ch, ch, ch)
+    )
+    seed_torch_module(t)
+    t.eval()
+    g = torch.Generator().manual_seed(4)
+    x = torch.randn(2, ch, 14, 14, generator=g)
+    with torch.no_grad():
+        out_ref = t.layers(x)
+
+    m = KRCNNConvDeconvUpsampleHead(num_keypoints=num_kp, conv_dims=(ch, ch, ch))
+    xj = jnp.asarray(to_nhwc(x))
+    variables = m.init(jax.random.PRNGKey(0), xj)
+    variables = _transfer(t, variables)
+    out = m.apply(variables, xj)
+    np.testing.assert_allclose(np.asarray(out), to_nhwc(out_ref), atol=ATOL)
