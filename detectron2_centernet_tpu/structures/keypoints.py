@@ -68,7 +68,9 @@ def keypoints_to_heatmap_targets(
 
 def heatmaps_to_keypoints(maps: np.ndarray, rois: np.ndarray) -> np.ndarray:
     """Heatmap argmax -> (N, K, 4) (x, y, logit, score) in image coords
-    (reference :145-212, without the bicubic upsample refinement)."""
+    (reference :145-212: bicubic upsample to the roi size, argmax, scores
+    softmax-normalized by the POOL-resolution sum so scores of different
+    absolute sizes stay comparable; golden-tested vs the reference fn)."""
     import cv2
 
     n, h, w, k = maps.shape
@@ -78,6 +80,8 @@ def heatmaps_to_keypoints(maps: np.ndarray, rois: np.ndarray) -> np.ndarray:
         roi_w = max(x1 - x0, 1.0)
         roi_h = max(y1 - y0, 1.0)
         # upsample each keypoint map to roi size for sub-cell precision
+        # (cv2 INTER_CUBIC == torch bicubic align_corners=False: same a=-0.75
+        # kernel and half-texel grid)
         up_w = max(int(np.ceil(roi_w)), 1)
         up_h = max(int(np.ceil(roi_h)), 1)
         m = cv2.resize(maps[i], (up_w, up_h), interpolation=cv2.INTER_CUBIC)
@@ -86,8 +90,12 @@ def heatmaps_to_keypoints(maps: np.ndarray, rois: np.ndarray) -> np.ndarray:
         flat = m.reshape(-1, k)
         pos = flat.argmax(0)
         ys, xs = pos // up_w, pos % up_w
-        exp = np.exp(flat - flat.max(0, keepdims=True))
-        probs = exp / exp.sum(0, keepdims=True)
+        mx = flat.max(0, keepdims=True)
+        # normalize with the POOL-resolution sum (reference :186-189)
+        pool_sum = np.exp(
+            maps[i].reshape(-1, k) - mx
+        ).sum(0, keepdims=True)
+        probs = np.exp(flat - mx) / pool_sum
         out[i, :, 0] = x0 + (xs + 0.5) * roi_w / up_w
         out[i, :, 1] = y0 + (ys + 0.5) * roi_h / up_h
         out[i, :, 2] = flat[pos, np.arange(k)]

@@ -457,3 +457,33 @@ def test_keypoint_head_parity(ref_full):
     variables = _transfer(t, variables)
     out = m.apply(variables, xj)
     np.testing.assert_allclose(np.asarray(out), to_nhwc(out_ref), atol=ATOL)
+
+
+def test_heatmaps_to_keypoints_parity(ref_full):
+    """Keypoint heatmap decode vs the reference's own
+    ``structures.keypoints.heatmaps_to_keypoints`` (:145-212): positions
+    exact (same bicubic grid + argmax), logits/scores to float tolerance
+    (cv2 INTER_CUBIC vs torch bicubic rounding)."""
+    torch = ref_full.torch
+    import importlib
+
+    ref_kp = importlib.import_module("detectron2.structures.keypoints")
+    from detectron2_centernet_tpu.structures.keypoints import (
+        heatmaps_to_keypoints,
+    )
+
+    rng = np.random.RandomState(0)
+    n, k, p = 4, 17, 14
+    maps = rng.randn(n, k, p, p).astype(np.float32) * 3
+    rois = rng.rand(n, 4).astype(np.float32) * 40
+    rois[:, 2:] = rois[:, :2] + 20 + rng.rand(n, 2).astype(np.float32) * 60
+
+    with torch.no_grad():
+        want = ref_kp.heatmaps_to_keypoints(
+            torch.from_numpy(maps), torch.from_numpy(rois)
+        ).numpy()
+
+    got = heatmaps_to_keypoints(maps.transpose(0, 2, 3, 1), rois)
+    np.testing.assert_allclose(got[..., :2], want[..., :2], atol=1e-3)
+    np.testing.assert_allclose(got[..., 2], want[..., 2], atol=1e-3)
+    np.testing.assert_allclose(got[..., 3], want[..., 3], rtol=1e-3, atol=1e-5)
