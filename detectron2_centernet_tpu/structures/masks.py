@@ -183,25 +183,46 @@ def paste_masks_in_image(
     image_shape: Tuple[int, int],
     threshold: float = 0.5,
 ) -> np.ndarray:
-    """Paste fixed-size mask crops into image-size bool masks
-    (reference layers/mask_ops.py:67-127 semantics, host-side)."""
-    import cv2
-
+    """Paste fixed-size mask crops into image-size bool masks — the exact
+    semantics of the reference's ``_do_paste_mask`` (layers/mask_ops.py:
+    16-66): each output pixel center (x+0.5, y+0.5) samples the mask with
+    ``grid_sample(align_corners=False)`` over the SUB-PIXEL box (no
+    floor/ceil snapping), zero padding outside. Golden-tested against the
+    reference function."""
     h, w = image_shape
     n = len(masks)
     out = np.zeros((n, h, w), bool)
     for i in range(n):
-        x0, y0, x1, y1 = boxes[i]
-        x0i, y0i = int(np.floor(x0)), int(np.floor(y0))
-        x1i, y1i = int(np.ceil(x1)), int(np.ceil(y1))
-        bw = max(x1i - x0i, 1)
-        bh = max(y1i - y0i, 1)
-        resized = cv2.resize(masks[i].astype(np.float32), (bw, bh), interpolation=cv2.INTER_LINEAR)
-        xs0, ys0 = max(x0i, 0), max(y0i, 0)
-        xs1, ys1 = min(x1i, w), min(y1i, h)
-        if xs1 <= xs0 or ys1 <= ys0:
+        x0, y0, x1, y1 = [float(v) for v in boxes[i]]
+        m = masks[i].astype(np.float32)
+        mh, mw = m.shape
+        x0i = max(int(np.floor(x0)) - 1, 0)
+        y0i = max(int(np.floor(y0)) - 1, 0)
+        x1i = min(int(np.ceil(x1)) + 1, w)
+        y1i = min(int(np.ceil(y1)) + 1, h)
+        if x1i <= x0i or y1i <= y0i:
             continue
-        out[i, ys0:ys1, xs0:xs1] = (
-            resized[ys0 - y0i : ys1 - y0i, xs0 - x0i : xs1 - x0i] > threshold
-        )
+        # normalized grid coords -> mask pixel coords, align_corners=False:
+        # p = ((g + 1) * M - 1) / 2
+        gy = (np.arange(y0i, y1i, dtype=np.float64) + 0.5 - y0) / max(y1 - y0, 1e-6) * 2 - 1
+        gx = (np.arange(x0i, x1i, dtype=np.float64) + 0.5 - x0) / max(x1 - x0, 1e-6) * 2 - 1
+        py = ((gy + 1) * mh - 1) / 2
+        px = ((gx + 1) * mw - 1) / 2
+        y0f = np.floor(py)
+        x0f = np.floor(px)
+        wy1 = py - y0f
+        wx1 = px - x0f
+        acc = np.zeros((len(py), len(px)), np.float64)
+        for dy in (0, 1):
+            yi = y0f + dy
+            vy = (yi >= 0) & (yi < mh)
+            yc = np.clip(yi, 0, mh - 1).astype(np.int64)
+            wy = (wy1 if dy else 1.0 - wy1) * vy
+            for dx in (0, 1):
+                xi = x0f + dx
+                vx = (xi >= 0) & (xi < mw)
+                xc = np.clip(xi, 0, mw - 1).astype(np.int64)
+                wx = (wx1 if dx else 1.0 - wx1) * vx
+                acc += m[yc][:, xc] * wy[:, None] * wx[None, :]
+        out[i, y0i:y1i, x0i:x1i] = acc >= threshold
     return out

@@ -487,3 +487,31 @@ def test_heatmaps_to_keypoints_parity(ref_full):
     np.testing.assert_allclose(got[..., :2], want[..., :2], atol=1e-3)
     np.testing.assert_allclose(got[..., 2], want[..., 2], atol=1e-3)
     np.testing.assert_allclose(got[..., 3], want[..., 3], rtol=1e-3, atol=1e-5)
+
+
+def test_paste_masks_in_image_parity(ref_full):
+    """paste_masks_in_image vs the reference's own layers/mask_ops.py
+    (grid_sample align_corners=False over the sub-pixel box): the pasted
+    bool masks must be IDENTICAL pixel for pixel."""
+    torch = ref_full.torch
+    import importlib
+
+    ref_mo = importlib.import_module("detectron2.layers.mask_ops")
+    from detectron2_centernet_tpu.structures.masks import paste_masks_in_image
+
+    rng = np.random.RandomState(1)
+    n, m, h, w = 6, 28, 60, 80
+    masks = rng.rand(n, m, m).astype(np.float32)
+    boxes = rng.rand(n, 4).astype(np.float32) * 30
+    boxes[:, 2:] = boxes[:, :2] + 5 + rng.rand(n, 2).astype(np.float32) * 40
+    boxes[0] = [-3.2, -1.7, 20.4, 25.9]  # partially outside
+    boxes[1] = [60.0, 40.0, 95.5, 70.2]  # clipped right/bottom
+
+    with torch.no_grad():
+        want = ref_mo.paste_masks_in_image(
+            torch.from_numpy(masks), torch.from_numpy(boxes), (h, w), 0.5
+        ).numpy()
+
+    got = paste_masks_in_image(masks, boxes, (h, w), 0.5)
+    mismatch = (got != want).sum()
+    assert mismatch == 0, f"{mismatch} of {got.size} pixels differ"
