@@ -515,3 +515,38 @@ def test_paste_masks_in_image_parity(ref_full):
     got = paste_masks_in_image(masks, boxes, (h, w), 0.5)
     mismatch = (got != want).sum()
     assert mismatch == 0, f"{mismatch} of {got.size} pixels differ"
+
+
+def test_box2box_rotated_parity(ref):
+    """Box2BoxTransformRotated vs the reference's own module
+    (box_regression.py:114-212): get_deltas and apply_deltas round-trip on
+    random rotated boxes (incl. angle normalization to (-180, 180])."""
+    torch = ref.torch
+    from detectron2_centernet_tpu.models.box_regression import (
+        Box2BoxTransformRotated,
+    )
+
+    weights = (10.0, 10.0, 5.0, 5.0, 1.0)
+    t_ref = ref.box_regression.Box2BoxTransformRotated(weights=weights)
+    t_our = Box2BoxTransformRotated(weights)
+
+    rng = np.random.RandomState(2)
+    src = np.stack([
+        rng.rand(64) * 80 + 10, rng.rand(64) * 80 + 10,
+        rng.rand(64) * 40 + 4, rng.rand(64) * 40 + 4,
+        rng.rand(64) * 720 - 360,
+    ], 1).astype(np.float32)
+    tgt = np.stack([
+        rng.rand(64) * 80 + 10, rng.rand(64) * 80 + 10,
+        rng.rand(64) * 40 + 4, rng.rand(64) * 40 + 4,
+        rng.rand(64) * 720 - 360,
+    ], 1).astype(np.float32)
+
+    with torch.no_grad():
+        d_ref = t_ref.get_deltas(torch.from_numpy(src), torch.from_numpy(tgt)).numpy()
+        a_ref = t_ref.apply_deltas(torch.from_numpy(d_ref), torch.from_numpy(src)).numpy()
+
+    d = np.asarray(t_our.get_deltas(jnp.asarray(src), jnp.asarray(tgt)))
+    a = np.asarray(t_our.apply_deltas(jnp.asarray(d), jnp.asarray(src)))
+    np.testing.assert_allclose(d, d_ref, atol=2e-4)
+    np.testing.assert_allclose(a, a_ref, atol=2e-3)
