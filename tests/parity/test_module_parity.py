@@ -550,3 +550,34 @@ def test_box2box_rotated_parity(ref):
     a = np.asarray(t_our.apply_deltas(jnp.asarray(d), jnp.asarray(src)))
     np.testing.assert_allclose(d, d_ref, atol=2e-4)
     np.testing.assert_allclose(a, a_ref, atol=2e-3)
+
+
+def test_anchor_generator_parity(ref_full):
+    """DefaultAnchorGenerator vs the reference's own module
+    (anchor_generator.py:80-230): identical anchors per level, per cell,
+    multi-size/ratio, at both offsets."""
+    torch = ref_full.torch
+    import importlib
+
+    ref_ag = importlib.import_module("detectron2.modeling.anchor_generator")
+    from detectron2_centernet_tpu.models.anchors import DefaultAnchorGenerator
+
+    sizes = [[32, 64], [128]]
+    ratios = [[0.5, 1.0, 2.0]]
+    strides = [8, 16]
+    for offset in (0.0, 0.5):
+        t = ref_ag.DefaultAnchorGenerator(
+            sizes=sizes, aspect_ratios=ratios, strides=strides, offset=offset
+        )
+        feats = [torch.zeros(1, 1, 10, 14), torch.zeros(1, 1, 5, 7)]
+        with torch.no_grad():
+            want = [b.tensor.numpy() for b in t(feats)]
+
+        ours = DefaultAnchorGenerator(
+            sizes=sizes, aspect_ratios=ratios, strides=strides, offset=offset
+        )
+        got = ours.grid_anchors([(10, 14), (5, 7)])
+        for lvl in range(2):
+            np.testing.assert_allclose(
+                got[lvl], want[lvl], atol=1e-5, err_msg=f"offset={offset} l{lvl}"
+            )
