@@ -332,6 +332,7 @@ def _install_stubs(torch):
             "modeling.roi_heads",
             "structures",
             "utils",
+            "evaluation",
             "data",
         ):
             m = types.ModuleType(f"detectron2.{sub}")
