@@ -31,6 +31,11 @@ pytestmark = pytest.mark.skipif(
 
 
 def _install_stubs(torch):
+    # the 2020-era reference uses the numpy aliases removed in numpy>=1.24
+    for alias, py in (("int", int), ("float", float), ("bool", bool), ("object", object)):
+        if not hasattr(np, alias):
+            setattr(np, alias, py)
+
     if "fvcore" not in sys.modules:
         fv = types.ModuleType("fvcore")
         fvnn = types.ModuleType("fvcore.nn")
