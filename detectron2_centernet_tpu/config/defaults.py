@@ -360,6 +360,10 @@ def _input_defaults() -> CN:
     i.SCALE_RANGE = (0.6, 1.4)
     i.SHIFT_RANGE = 0.1
     i.COLOR_JITTER = True
+    # SSD photometric distortion (reference projects/PointRend
+    # color_augmentation.py; used by PointRend/DeepLab sem-seg recipes) —
+    # runs on device like COLOR_JITTER
+    i.COLOR_AUG_SSD = False
     # side of the fixed per-object gt-mask raster the mapper produces when
     # MODEL.MASK_ON (device crops proposal windows out of it; masks.py)
     i.MASK_RASTER = 64

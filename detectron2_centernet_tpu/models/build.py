@@ -22,10 +22,14 @@ def build_model(cfg: CfgNode):
     # step before loss_fn; see ops/photometric.py for why it lives on device)
     if (
         getattr(model, "device_augment", None) is None
-        and cfg.INPUT.COLOR_JITTER
         and cfg.DATALOADER.DEVICE_PHOTOMETRIC
     ):
-        from ..ops.photometric import device_color_jitter
+        if cfg.INPUT.COLOR_AUG_SSD:
+            from ..ops.photometric import device_color_aug_ssd
 
-        model.device_augment = device_color_jitter
+            model.device_augment = device_color_aug_ssd
+        elif cfg.INPUT.COLOR_JITTER:
+            from ..ops.photometric import device_color_jitter
+
+            model.device_augment = device_color_jitter
     return model

@@ -20,7 +20,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["device_color_jitter"]
+__all__ = ["device_color_jitter", "device_color_aug_ssd"]
 
 _EIGVAL = jnp.asarray([0.2141788, 0.01817699, 0.00341571], jnp.float32)
 _EIGVEC = jnp.asarray(
@@ -71,3 +71,77 @@ def device_color_jitter(
     )
     shift = jnp.einsum("ck,nk->nc", _EIGVEC, alpha * _EIGVAL[None]) * 255.0
     return x + shift[:, None, None, :]
+
+
+# hue rotation in YIQ space (TF adjust_hue's linear approximation): a pure
+# 3x3 matrix per angle — TPU-friendly, no HSV conversion
+_RGB2YIQ = jnp.asarray(
+    [[0.299, 0.587, 0.114],
+     [0.596, -0.274, -0.322],
+     [0.211, -0.523, 0.312]], jnp.float32
+)
+# exact inverse (the textbook constants are rounded to 3 decimals, which
+# would leave a ~0.3/255 residual even at hue angle 0)
+import numpy as _np
+
+_YIQ2RGB = jnp.asarray(_np.linalg.inv(_np.asarray(_RGB2YIQ)), jnp.float32)
+
+
+def device_color_aug_ssd(
+    images: jnp.ndarray,  # (N, H, W, 3) float32 0..255, BGR (dataset order)
+    rng: jax.Array,
+    brightness_delta: float = 32.0,
+    contrast: Tuple[float, float] = (0.5, 1.5),
+    saturation: Tuple[float, float] = (0.5, 1.5),
+    hue_delta_deg: float = 18.0,
+) -> jnp.ndarray:
+    """SSD photometric distortion (reference projects/PointRend/point_rend/
+    color_augmentation.py:10-105), batched on device.
+
+    Per image (each op independently gated at p=0.5, the SSD recipe):
+    brightness shift +-32, contrast scale [0.5, 1.5], saturation scale
+    [0.5, 1.5], hue rotation +-18 HSV degrees (= +-36 color-wheel degrees,
+    applied as a YIQ-space rotation — the standard linear approximation of
+    the HSV hue walk). The reference's random op ORDER (contrast before vs
+    after saturation+hue) is a coin flip; both orders are linear ops at
+    these magnitudes and commute to first approximation, so a fixed order
+    is used. Values clip to [0, 255] once at the end (the reference clips
+    after every op)."""
+    n = images.shape[0]
+    x = images.astype(jnp.float32)
+    ks = jax.random.split(rng, 8)
+
+    def gate(k):
+        return (jax.random.uniform(k, (n, 1, 1, 1)) < 0.5).astype(jnp.float32)
+
+    # brightness: additive delta
+    beta = jax.random.uniform(
+        ks[0], (n, 1, 1, 1), minval=-brightness_delta, maxval=brightness_delta
+    )
+    x = x + gate(ks[1]) * beta
+    # contrast: multiplicative
+    alpha = jax.random.uniform(ks[2], (n, 1, 1, 1), minval=contrast[0], maxval=contrast[1])
+    x = x * (1.0 + gate(ks[3]) * (alpha - 1.0))
+    # saturation: blend with grayscale (the HSV S-scale equivalent)
+    s = jax.random.uniform(ks[4], (n, 1, 1, 1), minval=saturation[0], maxval=saturation[1])
+    w = 1.0 + gate(ks[5]) * (s - 1.0)
+    gray = jnp.einsum("nhwc,c->nhw", x[..., ::-1], _GRAY)[..., None]  # BGR -> luma
+    x = gray * (1.0 - w) + x * w
+    # hue: YIQ rotation by theta (2x the HSV half-circle delta)
+    theta = (
+        jax.random.uniform(ks[6], (n,), minval=-hue_delta_deg, maxval=hue_delta_deg)
+        * (2.0 * jnp.pi / 180.0)
+        * gate(ks[7])[:, 0, 0, 0]
+    )
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    zero, one = jnp.zeros_like(cos), jnp.ones_like(cos)
+    rot = jnp.stack(
+        [jnp.stack([one, zero, zero], -1),
+         jnp.stack([zero, cos, -sin], -1),
+         jnp.stack([zero, sin, cos], -1)], 1
+    )  # (N, 3, 3)
+    m = jnp.einsum("ij,njk,kl->nil", _YIQ2RGB, rot, _RGB2YIQ)  # (N, 3, 3) rgb->rgb
+    rgb = x[..., ::-1]
+    rgb = jnp.einsum("nhwc,nkc->nhwk", rgb, m)
+    x = rgb[..., ::-1]
+    return jnp.clip(x, 0.0, 255.0)

@@ -85,3 +85,36 @@ def test_approx_topk_recovers_distinct_peaks():
         cy = (boxes[0, i, 1] + boxes[0, i, 3]) / 2 / 4
         top.add((int(round(float(cy))), int(round(float(cx))), int(classes[0, i])))
     assert top == set(peaks), top
+
+
+def test_device_color_aug_ssd():
+    """SSD photometric distortion (reference PointRend color_augmentation):
+    output in [0,255], deterministic per key, identity when all gates
+    lose (checked by zero-width draw ranges)."""
+    import jax
+    import jax.numpy as jnp
+
+    from detectron2_centernet_tpu.ops.photometric import device_color_aug_ssd
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(3, 16, 16, 3) * 255, jnp.float32)
+    y = device_color_aug_ssd(x, jax.random.PRNGKey(1))
+    assert y.shape == x.shape
+    assert float(y.min()) >= 0.0 and float(y.max()) <= 255.0
+    y2 = device_color_aug_ssd(x, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+    # zero-magnitude distortions = identity regardless of the gates
+    yid = device_color_aug_ssd(
+        x, jax.random.PRNGKey(2), brightness_delta=0.0,
+        contrast=(1.0, 1.0), saturation=(1.0, 1.0), hue_delta_deg=0.0,
+    )
+    np.testing.assert_allclose(np.asarray(yid), np.asarray(x), atol=1e-3)
+    # hue rotation preserves luma (YIQ Y channel) when only hue is active
+    # hue rotation preserves luma (YIQ Y) while no channel clips
+    xm = x * 0.4 + 80.0  # mid-range: rotation stays inside [0, 255]
+    yh = device_color_aug_ssd(
+        xm, jax.random.PRNGKey(3), brightness_delta=0.0,
+        contrast=(1.0, 1.0), saturation=(1.0, 1.0), hue_delta_deg=18.0,
+    )
+    luma = lambda a: np.asarray(a)[..., ::-1] @ np.array([0.299, 0.587, 0.114])
+    np.testing.assert_allclose(luma(yh), luma(xm), atol=0.1)
