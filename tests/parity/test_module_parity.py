@@ -581,3 +581,46 @@ def test_anchor_generator_parity(ref_full):
             np.testing.assert_allclose(
                 got[lvl], want[lvl], atol=1e-5, err_msg=f"offset={offset} l{lvl}"
             )
+
+
+def test_detector_postprocess_box_rescale_parity(ref_full):
+    """Output rescaling: our warp-inversion postprocess vs the reference's
+    detector_postprocess (postprocessing.py:11-72) for a pure uniform-scale
+    letterbox warp (scale s, no shift): boxes must coincide after clipping,
+    empties dropped the same way."""
+    torch = ref_full.torch
+    import importlib
+
+    ref_pp = importlib.import_module("detectron2.modeling.postprocessing")
+    inst_mod = importlib.import_module("detectron2.structures.instances")
+    boxes_mod = importlib.import_module("detectron2.structures.boxes")
+    from detectron2_centernet_tpu.data.detection_utils import unwarp_boxes
+
+    rng = np.random.RandomState(5)
+    mh, mw = 128, 128   # model input size
+    oh, ow = 256, 512   # original image size (integral letterbox extent)
+    s = min(mh / oh, mw / ow)
+    warp = np.array([[s, 0.0, 0.0], [0.0, s, 0.0]], np.float64)  # orig->model
+
+    b_model = rng.rand(12, 4).astype(np.float32) * 100
+    b_model[:, 2:] = b_model[:, :2] + rng.rand(12, 2).astype(np.float32) * 40
+
+    # reference: detector_postprocess scales by output_size /
+    # results.image_size; for a letterbox warp the equivalence holds when
+    # the Instances' image_size is the (integral) warped extent
+    results = inst_mod.Instances((int(round(oh * s)), int(round(ow * s))))
+    results.pred_boxes = boxes_mod.Boxes(torch.from_numpy(b_model.copy()))
+    results.scores = torch.ones(12)
+    out_ref = ref_pp.detector_postprocess(results, oh, ow)
+    want = out_ref.pred_boxes.tensor.numpy()
+
+    got = unwarp_boxes(warp, b_model.copy())
+    from detectron2_centernet_tpu.structures import Boxes
+
+    bx = Boxes(got.astype(np.float32))
+    bx.clip((oh, ow))
+    ne = np.asarray(bx.nonempty())
+    # detector_postprocess already dropped its empties; the survivors and
+    # their boxes must coincide
+    assert ne.sum() == len(want), (ne.sum(), len(want))
+    np.testing.assert_allclose(np.asarray(bx.tensor)[ne], want, atol=1e-3)
