@@ -87,6 +87,44 @@ def convert_torch_tensor(name: str, arr: np.ndarray) -> np.ndarray:
 _SKIP_SUFFIXES = ("num_batches_tracked",)
 
 
+def _flatten_boundary_channels(torch_sd: Dict[str, np.ndarray]) -> Dict[str, int]:
+    """Detect conv -> flatten -> fc boundaries from state-dict ORDER: the
+    first 2-D ``.weight`` whose previous ``.weight`` is 4-D consumes a
+    flattened NCHW feature. Our flax modules flatten NHWC, so that fc
+    weight's input dim must be permuted from (C, H, W)-major to
+    (H, W, C)-major at import (H = W assumed: every pooled roi feature in
+    this framework is square). Returns {torch_key: conv_out_channels}."""
+    out: Dict[str, int] = {}
+    last_w_ndim, last_w_cout = 0, 0
+    for k, v in torch_sd.items():
+        if not k.endswith("weight") or v.ndim not in (2, 4):
+            continue
+        if v.ndim == 2 and last_w_ndim == 4:
+            c = last_w_cout
+            hw = v.shape[1] // c if c and v.shape[1] % c == 0 else 0
+            side = int(round(hw ** 0.5)) if hw else 0
+            if side and side * side == hw:
+                out[k] = c
+        if v.ndim == 4:
+            # conv OIHW -> out = d0; deconv (I, O, kh, kw) -> out = d1
+            segs = k.split(".")
+            owner = segs[-2] if len(segs) >= 2 else ""
+            is_deconv = "deconv" in k or owner.startswith("up")
+            last_w_cout = v.shape[1] if is_deconv else v.shape[0]
+        last_w_ndim = v.ndim
+    return out
+
+
+def _permute_flattened_fc_t(arr_oi: np.ndarray, c: int) -> np.ndarray:
+    """Torch (O, I=(C,H,W)-major) fc weight -> flax Dense kernel (I, O)
+    with the input dim re-ordered to the NHWC flatten."""
+    o, i = arr_oi.shape
+    hw = i // c
+    side = int(round(hw ** 0.5))
+    w = arr_oi.reshape(o, c, side, side).transpose(0, 2, 3, 1).reshape(o, i)
+    return w.T  # flax Dense kernel (I, O)
+
+
 def _flatten_pytree(tree: Any, prefix: str = "") -> List[Tuple[str, np.ndarray]]:
     import jax
 
@@ -240,8 +278,16 @@ def align_state_dicts(
         if not k.endswith(_SKIP_SUFFIXES) and k not in used_torch_keys
     }
     renumbered = _renumber_sequential(list(remaining))
+    boundary = _flatten_boundary_channels(torch_sd)
     torch_items = [
-        (k, convert_torch_tensor(k, v), _token_seq(k), _token_seq(renumbered[k]))
+        (
+            k,
+            _permute_flattened_fc_t(v, boundary[k])
+            if k in boundary
+            else convert_torch_tensor(k, v),
+            _token_seq(k),
+            _token_seq(renumbered[k]),
+        )
         for k, v in remaining.items()
     ]
     fl = [

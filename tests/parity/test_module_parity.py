@@ -624,3 +624,35 @@ def test_detector_postprocess_box_rescale_parity(ref_full):
     # their boxes must coincide
     assert ne.sum() == len(want), (ne.sum(), len(want))
     np.testing.assert_allclose(np.asarray(bx.tensor)[ne], want, atol=1e-3)
+
+
+def test_box_head_parity(ref_full):
+    """FastRCNNConvFCHead vs the reference's own module (box_head.py):
+    covers the conv -> flatten -> fc boundary, where torch's channel-major
+    flatten meets our NHWC flatten — the aligner must permute the first fc
+    weight or every imported torch checkpoint mis-wires the box head."""
+    ref = ref_full
+    torch = ref.torch
+    import importlib
+
+    ref_bh = importlib.import_module("detectron2.modeling.roi_heads.box_head")
+    from detectron2_centernet_tpu.models.roi_heads.box_head import (
+        FastRCNNConvFCHead,
+    )
+
+    ch, p = 8, 7
+    shape = ref.layers.ShapeSpec(channels=ch, height=p, width=p)
+    t = ref_bh.FastRCNNConvFCHead(shape, conv_dims=[ch], fc_dims=[32, 32])
+    seed_torch_module(t)
+    t.eval()
+    g = torch.Generator().manual_seed(9)
+    x = torch.randn(3, ch, p, p, generator=g)
+    with torch.no_grad():
+        want = t(x).numpy()
+
+    m = FastRCNNConvFCHead(num_conv=1, conv_dim=ch, num_fc=2, fc_dim=32)
+    xj = jnp.asarray(to_nhwc(x))
+    variables = m.init(jax.random.PRNGKey(0), xj)
+    variables = _transfer(t, variables)
+    got = np.asarray(m.apply(variables, xj))
+    np.testing.assert_allclose(got, want, atol=ATOL)
