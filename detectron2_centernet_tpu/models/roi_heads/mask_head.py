@@ -76,7 +76,12 @@ class CoarseMaskHead(nn.Module):
             kernel_init=nn.initializers.normal(0.001),
             name="prediction",
         )(x)
-        return x.reshape(r, self.output_side, self.output_side, self.num_classes)
+        # (class, y, x)-major flat ordering, matching the reference's
+        # .view(N, C, side, side) so imported torch prediction weights
+        # wire correctly; the transpose folds away under XLA
+        return x.reshape(
+            r, self.num_classes, self.output_side, self.output_side
+        ).transpose(0, 2, 3, 1)
 
 
 def crop_gt_masks(

@@ -656,3 +656,54 @@ def test_box_head_parity(ref_full):
     variables = _transfer(t, variables)
     got = np.asarray(m.apply(variables, xj))
     np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_coarse_mask_head_parity(ref_full):
+    """CoarseMaskHead vs the reference PointRend project's own module
+    (point_rend/coarse_mask_head.py, loaded by file path to skip the
+    project __init__): 1x1 reduce + 2x2 s2 reduce + FC stack + per-class
+    low-res prediction, including the conv->flatten boundary permutation."""
+    ref = ref_full
+    torch = ref.torch
+    import importlib
+    import importlib.util
+    import sys
+
+    mh_mod = importlib.import_module("detectron2.modeling.roi_heads.mask_head")
+    modeling = sys.modules["detectron2.modeling"]
+    if not hasattr(modeling, "ROI_MASK_HEAD_REGISTRY"):
+        modeling.ROI_MASK_HEAD_REGISTRY = mh_mod.ROI_MASK_HEAD_REGISTRY
+    spec = importlib.util.spec_from_file_location(
+        "_ref_coarse_mask_head",
+        "/root/reference/projects/PointRend/point_rend/coarse_mask_head.py",
+    )
+    ref_cmh = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_cmh)
+
+    from detectron2_centernet_tpu.config import get_cfg
+    from detectron2_centernet_tpu.models.roi_heads.mask_head import CoarseMaskHead
+
+    cfg = get_cfg()
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+    cfg.MODEL.ROI_MASK_HEAD.CONV_DIM = 16
+    cfg.MODEL.ROI_MASK_HEAD.FC_DIM = 32
+    cfg.MODEL.ROI_MASK_HEAD.NUM_FC = 2
+    cfg.MODEL.ROI_MASK_HEAD.OUTPUT_SIDE_RESOLUTION = 7
+    ch, p = 24, 14  # cin > conv_dim exercises the reduce conv
+    shape = ref.layers.ShapeSpec(channels=ch, height=p, width=p)
+    t = ref_cmh.CoarseMaskHead(cfg, shape)
+    seed_torch_module(t)
+    t.eval()
+    g = torch.Generator().manual_seed(11)
+    x = torch.randn(2, ch, p, p, generator=g)
+    with torch.no_grad():
+        want = t(x).numpy()  # (R, C, 7, 7)
+
+    m = CoarseMaskHead(4, conv_dim=16, fc_dim=32, num_fc=2, output_side=7)
+    xj = jnp.asarray(to_nhwc(x))
+    variables = m.init(jax.random.PRNGKey(0), xj)
+    variables = _transfer(t, variables)
+    got = np.asarray(m.apply(variables, xj))  # (R, 7, 7, C)
+    np.testing.assert_allclose(
+        got, np.transpose(want, (0, 2, 3, 1)), atol=ATOL
+    )
