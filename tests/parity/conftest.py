@@ -335,6 +335,7 @@ def _install_stubs(torch):
             "modeling.backbone",
             "modeling.meta_arch",
             "modeling.roi_heads",
+            "modeling.proposal_generator",
             "structures",
             "utils",
             "evaluation",

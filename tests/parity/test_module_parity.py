@@ -707,3 +707,52 @@ def test_coarse_mask_head_parity(ref_full):
     np.testing.assert_allclose(
         got, np.transpose(want, (0, 2, 3, 1)), atol=ATOL
     )
+
+
+def test_rpn_head_parity(ref_full):
+    """StandardRPNHead vs the reference's own module
+    (proposal_generator/rpn.py:68-130): shared 3x3 conv + 1x1 objectness
+    and A*4 anchor-delta predictors across levels."""
+    ref = ref_full
+    torch = ref.torch
+    import importlib
+
+    import sys
+
+    structures = sys.modules["detectron2.structures"]
+    if not hasattr(structures, "pairwise_iou_rotated"):
+        # rrpn.py (pulled in by .build) needs the _C-backed rotated IoU at
+        # import time only; the golden never calls it
+        structures.pairwise_iou_rotated = None
+    # import .build first: it defines the registry before importing rpn,
+    # which breaks the rpn <-> build import cycle the package __init__
+    # normally resolves
+    importlib.import_module("detectron2.modeling.proposal_generator.build")
+    ref_rpn = importlib.import_module(
+        "detectron2.modeling.proposal_generator.rpn"
+    )
+    from detectron2_centernet_tpu.models.proposal_generator.rpn import (
+        StandardRPNHead,
+    )
+
+    ch, na = 16, 3
+    t = ref_rpn.StandardRPNHead(in_channels=ch, num_anchors=na, box_dim=4)
+    seed_torch_module(t)
+    t.eval()
+    g = torch.Generator().manual_seed(12)
+    feats = [torch.randn(1, ch, s, s, generator=g) for s in (16, 8)]
+    with torch.no_grad():
+        logits_ref, deltas_ref = t(feats)
+
+    m = StandardRPNHead(num_anchors=na, channels=ch)
+    feats_j = [jnp.asarray(to_nhwc(f)) for f in feats]
+    variables = m.init(jax.random.PRNGKey(0), feats_j)
+    variables = _transfer(t, variables)
+    logits, deltas = m.apply(variables, feats_j)
+    for lvl in range(2):
+        np.testing.assert_allclose(
+            np.asarray(logits[lvl]), to_nhwc(logits_ref[lvl]), atol=ATOL
+        )
+        np.testing.assert_allclose(
+            np.asarray(deltas[lvl]), to_nhwc(deltas_ref[lvl]), atol=ATOL
+        )
