@@ -756,3 +756,60 @@ def test_rpn_head_parity(ref_full):
         np.testing.assert_allclose(
             np.asarray(deltas[lvl]), to_nhwc(deltas_ref[lvl]), atol=ATOL
         )
+
+
+def test_find_top_rpn_proposals_parity(ref_full):
+    """Proposal selection vs the reference's own find_top_rpn_proposals
+    (proposal_utils.py:13-113): same decoded per-level boxes + logits in,
+    same surviving proposal set out (per-level NMS, global top-K).
+    Proposal selection feeds everything downstream in a two-stage model —
+    a drift here shifts every roi."""
+    ref = ref_full
+    torch = ref.torch
+    import importlib
+
+    ref_pu = importlib.import_module(
+        "detectron2.modeling.proposal_generator.proposal_utils"
+    )
+    from detectron2_centernet_tpu.models.box_regression import Box2BoxTransform
+    from detectron2_centernet_tpu.models.proposal_generator.rpn import (
+        find_top_rpn_proposals,
+    )
+
+    rng = np.random.RandomState(13)
+    h, w = 64, 80
+    b2b = Box2BoxTransform((1.0, 1.0, 1.0, 1.0))
+    anchors, logits, deltas, dec_boxes = [], [], [], []
+    for rl, cell in ((120, 8), (40, 16)):
+        cx = rng.rand(rl) * w
+        cy = rng.rand(rl) * h
+        s = 10 + rng.rand(rl) * 30
+        anc = np.stack([cx - s, cy - s, cx + s, cy + s], 1).astype(np.float32)
+        lg = rng.randn(1, rl).astype(np.float32)
+        dl = (rng.randn(1, rl, 4) * 0.2).astype(np.float32)
+        anchors.append(anc)
+        logits.append(jnp.asarray(lg))
+        deltas.append(jnp.asarray(dl))
+        dec = np.asarray(b2b.apply_deltas(jnp.asarray(dl[0]), jnp.asarray(anc)))
+        dec_boxes.append(torch.from_numpy(dec[None]))
+
+    with torch.no_grad():
+        inst = ref_pu.find_top_rpn_proposals(
+            dec_boxes, [torch.from_numpy(np.asarray(l)) for l in logits],
+            [(h, w)], nms_thresh=0.7, pre_nms_topk=100, post_nms_topk=20,
+            min_box_size=0.0, training=False,
+        )[0]
+    want_boxes = inst.proposal_boxes.tensor.numpy()
+    want_scores = inst.objectness_logits.numpy()
+
+    boxes, scores, valid = find_top_rpn_proposals(
+        logits, deltas, [jnp.asarray(a) for a in anchors], (h, w), b2b,
+        nms_thresh=0.7, pre_nms_topk=100, post_nms_topk=20,
+    )
+    got_boxes = np.asarray(boxes[0])[np.asarray(valid[0])]
+    got_scores = np.asarray(scores[0])[np.asarray(valid[0])]
+    assert len(got_scores) == len(want_scores), (len(got_scores), len(want_scores))
+    order_w = np.argsort(-want_scores)
+    order_g = np.argsort(-got_scores)
+    np.testing.assert_allclose(got_scores[order_g], want_scores[order_w], atol=1e-5)
+    np.testing.assert_allclose(got_boxes[order_g], want_boxes[order_w], atol=1e-3)
