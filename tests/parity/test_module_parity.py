@@ -813,3 +813,37 @@ def test_find_top_rpn_proposals_parity(ref_full):
     order_g = np.argsort(-got_scores)
     np.testing.assert_allclose(got_scores[order_g], want_scores[order_w], atol=1e-5)
     np.testing.assert_allclose(got_boxes[order_g], want_boxes[order_w], atol=1e-3)
+
+
+def test_boxmode_convert_parity(ref_full):
+    """BoxMode.convert vs the reference's own (structures/boxes.py:13-130):
+    XYWH<->XYXY and the rotated XYWHA_ABS -> XYXY_ABS envelope."""
+    ref = ref_full
+    torch = ref.torch
+    import importlib
+
+    ref_boxes = importlib.import_module("detectron2.structures.boxes")
+    from detectron2_centernet_tpu.structures import BoxMode
+
+    rng = np.random.RandomState(17)
+    xywh = rng.rand(16, 4).astype(np.float32) * 100
+    want = ref_boxes.BoxMode.convert(
+        torch.from_numpy(xywh.copy()), ref_boxes.BoxMode.XYWH_ABS,
+        ref_boxes.BoxMode.XYXY_ABS,
+    ).numpy()
+    got = BoxMode.convert(xywh.copy(), BoxMode.XYWH_ABS, BoxMode.XYXY_ABS)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    back = BoxMode.convert(got.copy(), BoxMode.XYXY_ABS, BoxMode.XYWH_ABS)
+    np.testing.assert_allclose(back, xywh, atol=1e-5)
+
+    xywha = np.concatenate(
+        [rng.rand(16, 2) * 100 + 50, rng.rand(16, 2) * 40 + 5,
+         rng.rand(16, 1) * 360 - 180], 1
+    ).astype(np.float32)
+    want_r = ref_boxes.BoxMode.convert(
+        torch.from_numpy(xywha.copy()), ref_boxes.BoxMode.XYWHA_ABS,
+        ref_boxes.BoxMode.XYXY_ABS,
+    ).numpy()
+    got_r = BoxMode.convert(xywha.copy(), BoxMode.XYWHA_ABS, BoxMode.XYXY_ABS)
+    np.testing.assert_allclose(got_r, want_r, atol=1e-3)
