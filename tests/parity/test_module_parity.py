@@ -847,3 +847,24 @@ def test_boxmode_convert_parity(ref_full):
     ).numpy()
     got_r = BoxMode.convert(xywha.copy(), BoxMode.XYWHA_ABS, BoxMode.XYXY_ABS)
     np.testing.assert_allclose(got_r, want_r, atol=1e-3)
+
+
+def test_pairwise_iou_parity(ref_full):
+    """pairwise_iou vs the reference's own Boxes op (boxes.py:314-350)."""
+    ref = ref_full
+    torch = ref.torch
+    import importlib
+
+    ref_boxes = importlib.import_module("detectron2.structures.boxes")
+    from detectron2_centernet_tpu.structures import Boxes, pairwise_iou
+
+    rng = np.random.RandomState(19)
+    a = rng.rand(13, 4).astype(np.float32) * 80
+    a[:, 2:] = a[:, :2] + rng.rand(13, 2).astype(np.float32) * 50
+    b = rng.rand(9, 4).astype(np.float32) * 80
+    b[:, 2:] = b[:, :2] + rng.rand(9, 2).astype(np.float32) * 50
+    want = ref_boxes.pairwise_iou(
+        ref_boxes.Boxes(torch.from_numpy(a)), ref_boxes.Boxes(torch.from_numpy(b))
+    ).numpy()
+    got = np.asarray(pairwise_iou(Boxes(a), Boxes(b)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
