@@ -868,3 +868,43 @@ def test_pairwise_iou_parity(ref_full):
     ).numpy()
     got = np.asarray(pairwise_iou(Boxes(a), Boxes(b)))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_keypoints_to_heatmap_parity(ref_full):
+    """Keypoint target encoding vs the reference's own _keypoints_to_heatmap
+    (structures/keypoints.py:85-142): identical flat heatmap indices and
+    validity for random keypoints/rois (the training-target side of the
+    decode golden)."""
+    ref = ref_full
+    torch = ref.torch
+    import importlib
+
+    ref_kp = importlib.import_module("detectron2.structures.keypoints")
+    import jax.numpy as jnp2
+
+    from detectron2_centernet_tpu.models.roi_heads.keypoint_head import (
+        encode_keypoint_targets,
+    )
+
+    rng = np.random.RandomState(23)
+    s, k, hm = 10, 17, 14
+    rois = rng.rand(s, 4).astype(np.float32) * 60
+    rois[:, 2:] = rois[:, :2] + 10 + rng.rand(s, 2).astype(np.float32) * 50
+    kpts = np.zeros((s, k, 3), np.float32)
+    kpts[..., 0] = rng.rand(s, k) * 120
+    kpts[..., 1] = rng.rand(s, k) * 120
+    kpts[..., 2] = rng.randint(0, 3, (s, k))
+
+    with torch.no_grad():
+        want_idx, want_valid = ref_kp._keypoints_to_heatmap(
+            torch.from_numpy(kpts), torch.from_numpy(rois), hm
+        )
+    got_idx, got_valid = encode_keypoint_targets(
+        jnp2.asarray(kpts), jnp2.asarray(rois), hm
+    )
+    gv = np.asarray(got_valid) > 0
+    wv = want_valid.numpy() > 0
+    np.testing.assert_array_equal(gv, wv)
+    np.testing.assert_array_equal(
+        np.asarray(got_idx)[gv], want_idx.numpy()[wv]
+    )
