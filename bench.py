@@ -31,9 +31,46 @@ WARMUP = 3
 ITERS = 30
 
 
+def _init_watchdog(seconds: int = 600):
+    """Hard-exit if the backend never initializes (a wedged TPU relay makes
+    PJRT client creation block forever; a hang here would stall the whole
+    bench harness, an error line is recoverable)."""
+    import threading
+
+    state = {"ok": False}
+
+    def watch():
+        time.sleep(seconds)
+        if not state["ok"]:
+            print(
+                json.dumps(
+                    {
+                        "metric": "inference_throughput",
+                        "value": 0.0,
+                        "unit": "img/s/chip",
+                        "vs_baseline": 0.0,
+                        "extra": {"error": f"backend init timed out after {seconds}s"},
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+    def mark_ok():
+        state["ok"] = True
+
+    return mark_ok
+
+
 def main() -> None:
+    mark_ok = _init_watchdog()
     import jax
     import jax.numpy as jnp
+
+    jax.devices()  # blocks on a wedged relay; watchdog converts to an error
+    mark_ok()
 
     from detectron2_centernet_tpu.config import get_cfg
     from detectron2_centernet_tpu.models import build_model
