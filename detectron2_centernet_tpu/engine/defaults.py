@@ -158,6 +158,10 @@ class DefaultPredictor:
 
     def __call__(self, original_image: np.ndarray):
         """original_image: (H, W, C) uint8, in ``INPUT.FORMAT`` channel order."""
+        if self.input_format == "RGB":
+            # the models consume dataset (BGR) channel order — convert like
+            # the reference predictor (defaults.py:209-211)
+            original_image = original_image[:, :, ::-1]
         h, w = original_image.shape[:2]
         m = self._letterbox(h, w, self._size)
         warped = self._warp_image(original_image.astype(np.float32), m, self._size)
