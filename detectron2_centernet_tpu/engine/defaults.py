@@ -157,10 +157,10 @@ class DefaultPredictor:
         self._size = size
 
     def __call__(self, original_image: np.ndarray):
-        """original_image: (H, W, C) uint8, in ``INPUT.FORMAT`` channel order."""
+        """original_image: (H, W, C) uint8 in BGR (the cv2 convention —
+        reference defaults.py:201-208); converted to the model's
+        ``INPUT.FORMAT`` channel order like the reference predictor."""
         if self.input_format == "RGB":
-            # the models consume dataset (BGR) channel order — convert like
-            # the reference predictor (defaults.py:209-211)
             original_image = original_image[:, :, ::-1]
         h, w = original_image.shape[:2]
         m = self._letterbox(h, w, self._size)

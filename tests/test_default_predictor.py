@@ -1,6 +1,7 @@
-"""DefaultPredictor e2e (reference engine/defaults.py:154-218): single
-uint8 image in INPUT.FORMAT order -> {"instances": Instances} at the
-original resolution; RGB and BGR inputs of the same scene agree."""
+"""DefaultPredictor e2e (reference engine/defaults.py:154-218): takes ONE
+BGR uint8 image (the cv2 convention) and converts to the model's
+INPUT.FORMAT; an RGB-format predictor must feed the model reversed
+channels of the same BGR input."""
 
 import numpy as np
 
@@ -37,19 +38,21 @@ def test_default_predictor_formats():
     assert inst.image_size == (50, 70)
     assert inst.pred_boxes.tensor.shape[1] == 4
 
-    # same scene in RGB order through an RGB-configured predictor, with the
-    # SAME weights: identical detections
+    # an RGB-format predictor with the SAME weights must equal running the
+    # BGR predictor on reversed channels: INPUT.FORMAT converts the BGR
+    # input into the model's expected order (reference defaults.py:209-211)
     p_rgb = DefaultPredictor(_cfg("RGB"))
     p_rgb.variables = p_bgr.variables
     p_rgb._predict = jax.jit(p_rgb.model.predict_fn)
-    out_rgb = p_rgb(img_bgr[:, :, ::-1])
+    out_rgb = p_rgb(img_bgr)
+    ref = p_bgr(img_bgr[:, :, ::-1])  # model sees the same reversed pixels
     np.testing.assert_allclose(
         np.asarray(out_rgb["instances"].pred_boxes.tensor),
-        np.asarray(inst.pred_boxes.tensor),
+        np.asarray(ref["instances"].pred_boxes.tensor),
         atol=1e-4,
     )
     np.testing.assert_allclose(
         np.asarray(out_rgb["instances"].scores),
-        np.asarray(inst.scores),
+        np.asarray(ref["instances"].scores),
         atol=1e-5,
     )
