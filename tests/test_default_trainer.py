@@ -117,3 +117,56 @@ def test_precise_bn_before_checkpointer(tmp_path, synth_dataset):
     assert H.PreciseBN in kinds and H.PeriodicCheckpointerHook in kinds
     assert kinds.index(H.PreciseBN) < kinds.index(H.PeriodicCheckpointerHook)
     assert kinds.index(H.PreciseBN) < kinds.index(H.EvalHook)
+
+
+def test_precise_bn_recovers_true_average():
+    """The EMA-undo must recover EXACT per-batch statistics: after
+    PreciseBN over k batches, every BN mean equals the plain average of the
+    k per-batch means (fvcore update_bn_stats momentum=1.0 semantics) —
+    NOT the EMA-lagged value a naive averaging of post-update stats gives."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from flax import linen as nn
+
+    from detectron2_centernet_tpu.engine.hooks import PreciseBN
+    from detectron2_centernet_tpu.models.layers import BN_MOMENTUM
+
+    class TinyBN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM,
+                name="bn",
+            )(x)
+
+    mod = TinyBN()
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.rand(4, 3) * 10, jnp.float32)
+    v = mod.init(jax.random.PRNGKey(0), x0, False)
+
+    batches = [
+        {"image": np.asarray(rng.rand(4, 3) * (i + 1) * 5, np.float32)}
+        for i in range(3)
+    ]
+
+    model = types.SimpleNamespace(
+        module=mod, normalize=lambda im: jnp.asarray(im, jnp.float32)
+    )
+    state = types.SimpleNamespace(
+        params=v["params"], batch_stats=v["batch_stats"],
+        replace=lambda **kw: types.SimpleNamespace(
+            params=v["params"], batch_stats=kw["batch_stats"]
+        ),
+    )
+    trainer = types.SimpleNamespace(model=model, state=state)
+
+    hook = PreciseBN(period=1, data_loader=batches, num_iter=3)
+    hook.trainer = trainer
+    hook._update_stats()
+
+    want_mean = np.mean([b["image"].mean(0) for b in batches], axis=0)
+    got_mean = np.asarray(trainer.state.batch_stats["bn"]["mean"])
+    np.testing.assert_allclose(got_mean, want_mean, rtol=1e-5)
