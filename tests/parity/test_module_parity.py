@@ -908,3 +908,43 @@ def test_keypoints_to_heatmap_parity(ref_full):
     np.testing.assert_array_equal(
         np.asarray(got_idx)[gv], want_idx.numpy()[wv]
     )
+
+
+def test_deeplab_stem_parity(ref_full):
+    """DeepLabStem vs the reference DeepLab project's own module
+    (deeplab/resnet.py:14-72, loaded by file path): 3x [3x3 conv + BN +
+    relu] + maxpool, first conv s2."""
+    ref = ref_full
+    torch = ref.torch
+    import importlib
+    import importlib.util
+    import sys
+
+    modeling = sys.modules["detectron2.modeling"]
+    if not hasattr(modeling, "BACKBONE_REGISTRY"):
+        bb = importlib.import_module("detectron2.modeling.backbone.build")
+        modeling.BACKBONE_REGISTRY = bb.BACKBONE_REGISTRY
+    spec = importlib.util.spec_from_file_location(
+        "_ref_deeplab_resnet",
+        "/root/reference/projects/DeepLab/deeplab/resnet.py",
+    )
+    ref_dl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_dl)
+
+    from detectron2_centernet_tpu.models.backbones.resnet import DeepLabStem
+
+    t = ref_dl.DeepLabStem(in_channels=3, out_channels=32, norm="BN")
+    seed_torch_module(t)
+    t.eval()
+    g = torch.Generator().manual_seed(15)
+    x = torch.randn(2, 3, 32, 32, generator=g)
+    with torch.no_grad():
+        want = t(x)
+
+    m = DeepLabStem(out_channels=32, norm="BN")
+    xj = jnp.asarray(to_nhwc(x))
+    variables = m.init(jax.random.PRNGKey(0), xj, False)
+    variables = _transfer(t, variables)
+    got = np.asarray(m.apply(variables, xj, False))
+    np.testing.assert_allclose(got, to_nhwc(want), atol=ATOL)
+
