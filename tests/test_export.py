@@ -98,3 +98,35 @@ def test_activation_calibration():
     ranges = calibrate_activations(model, variables, imgs)
     assert len(ranges) > 5
     assert all(v >= 0 for v in ranges.values())
+
+
+def test_export_model_cli(tmp_path):
+    """tools/export_model.py: config+weights -> artifact -> reload ->
+    smoke-run (the reference tools/deploy/caffe2_converter.py role)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "export")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "tools", "export_model.py"),
+            "--output", out, "--batch-size", "1", "--image-size", "64", "64",
+            "--run-smoke",
+            "MODEL.META_ARCHITECTURE", "CenterNet",
+            "MODEL.BACKBONE.NAME", "build_dla34_backbone",
+            "MODEL.CENTERNET.TASK.HM", "3",
+            "MODEL.CENTERNET.LEVELS", "[1,1,1,1,1,1]",
+            "MODEL.CENTERNET.CHANNELS", "[4,8,8,16,16,16]",
+            "MODEL.CENTERNET.HEAD_CONV", "8",
+            "TPU.DTYPE", "float32",
+        ],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path), timeout=560,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(out, "model.stablehlo"))
+    assert os.path.exists(os.path.join(out, "export_meta.json"))
+    assert os.path.exists(os.path.join(out, "config.yaml"))
+    assert "Smoke run OK" in r.stderr + r.stdout
