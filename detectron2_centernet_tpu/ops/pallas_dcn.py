@@ -87,6 +87,7 @@ def _kernel(
     sub: int,
     v_window: int,
     r_blk: int,
+    wj: int = 1,
     epilogue: bool = False,
     relu: bool = False,
     nhwc_out: bool = True,
@@ -139,6 +140,7 @@ def _kernel(
         qy_j = qy_ref[0, j]  # (3, 3*Wp)
         qx_j = qx_ref[0, j]
         m_j = m_ref[0, j]
+        jj = j % wj  # column block of the row-batched sample buffer
         for g in range(3):  # tap-row groups, ky = g - 1
             a = jnp.clip(r0 + j + (g - 1) - v_window, 0, h - sub)
             xs = x_ref[0, pl.ds(a, sub)].reshape(sub * cin, wp)
@@ -157,13 +159,15 @@ def _kernel(
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=f32,  # Mosaic requires 32-bit acc
                 precision=hiprec,
-            ).astype(cdt)  # [(row, c), (t, x')]
+            )  # [(row, c), (t, x')] f32 — the fold accumulates in f32 (a
+            #    measured ~6% kernel win over astype-then-bf16-fold, and
+            #    strictly more accurate)
             # vertical tent on absolute row coords (correct zero-padding),
             # modulation folded in; <=2 rows are non-zero per output pixel
             if bf16_tent:
                 dy3 = (qy_j[g : g + 1] - a.astype(f32)).astype(cdt)
                 ty3 = (jnp.maximum(0.0, 1.0 - jnp.abs(sub_c - dy3)) *
-                       m_j[g : g + 1].astype(cdt))  # (sub, 3*Wp)
+                       m_j[g : g + 1].astype(cdt)).astype(f32)  # (sub, 3*Wp)
             else:
                 rowc = subiota + a.astype(f32)  # (sub, 1)
                 ty3 = (jnp.maximum(0.0, 1.0 - jnp.abs(rowc - qy_j[g : g + 1])) *
@@ -171,14 +175,21 @@ def _kernel(
             v3 = g3[0:cin] * ty3[0:1]
             for i in range(1, sub):
                 v3 = v3 + g3[i * cin : (i + 1) * cin] * ty3[i : i + 1]
+            v3 = v3.astype(vfull.dtype)
             for t in range(3):
                 k = g * 3 + t
-                vfull[k * cin : (k + 1) * cin, :] = (
-                    v3[:, t * wp : (t + 1) * wp].astype(vfull.dtype)
+                vfull[k * cin : (k + 1) * cin, jj * wp : (jj + 1) * wp] = (
+                    v3[:, t * wp : (t + 1) * wp]
                 )
+        if jj != wj - 1:
+            continue
+        # Row-batched weight contraction: one (9*cin)-deep MXU dot per wj
+        # rows instead of per row.  The per-row dot is tiny (<=10 MFLOP,
+        # measured ~3% MXU utilization); batching wj rows on the lane axis
+        # was a ~20% whole-kernel win at cin=64.
         if nhwc_out:
             # NHWC epilogue (cout a lane-tile multiple): contract with the
-            # weight in (Wp, cout) orientation so the output leaves the
+            # weight in (wj*Wp, cout) orientation so the output leaves the
             # kernel in the consumer's layout and the host-side unpack only
             # permutes untiled (batch-slot) axes — no C<->W relayout pass
             # over HBM.  Both operands contract on their sublane dim
@@ -189,17 +200,17 @@ def _kernel(
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=f32,
                 precision=hiprec,
-            )  # (Wp, cout)
+            )  # (wj*Wp, cout)
         else:
             # narrow cout (< 128 lanes) would lane-pad the NHWC write to 2x
-            # the bytes; emit (cout, Wp) and let XLA transpose instead
+            # the bytes; emit (cout, wj*Wp) and let XLA transpose instead
             acc = jax.lax.dot_general(
                 ewt_ref[:],
                 vfull[:],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=f32,
                 precision=hiprec,
-            )  # (cout, Wp)
+            )  # (cout, wj*Wp)
         if epilogue:
             # fused inference tail: folded conv-bias + BatchNorm affine
             # (and ReLU) applied on the f32 accumulator before the only
@@ -209,11 +220,27 @@ def _kernel(
             acc = acc * scale_ref[:] + shift_ref[:]
             if relu:
                 acc = jnp.maximum(acc, 0.0)
-        o_ref[0, j] = acc.astype(o_ref.dtype)
+        acc = acc.astype(o_ref.dtype)
+        for b in range(wj):
+            if nhwc_out:
+                o_ref[0, j - wj + 1 + b] = acc[b * wp : (b + 1) * wp, :]
+            else:
+                o_ref[0, j - wj + 1 + b] = acc[:, b * wp : (b + 1) * wp]
 
 
 def _pack_factor(w: int) -> int:
     return 128 // w if (w < 128 and 128 % w == 0) else 1
+
+
+def _pick_wj(r_blk: int, cin: int, wp: int, itemsize: int) -> int:
+    """Rows batched per weight contraction: the largest divisor of r_blk
+    whose (9*cin, wj*wp) sample buffer stays under ~2.5 MB of VMEM."""
+    budget = int(2.5 * 2**20)
+    wj = 1
+    for cand in (2, 4, 8):
+        if r_blk % cand == 0 and 9 * cin * cand * wp * itemsize <= budget:
+            wj = cand
+    return wj
 
 
 def pallas_dcn_supported(
@@ -350,12 +377,30 @@ def _forward_impl(
     ), (x.shape, v_window, x.dtype)
     assert offset.shape == (n, h, w, 18) and mask.shape == (n, h, w, 9)
     qy_p, qx_p, m_p, x_t, d = _prepare(x, offset, mask, v_window)
-    wp, nb, r_blk = d["wp"], d["nb"], d["r_blk"]
     ewt = _tap_major_weight(weight, x.dtype).T  # (9cin, cout)
+    out = _forward_from_packed(
+        qy_p, qx_p, m_p, x_t, ewt, d, w, cout, v_window, interpret,
+        post_scale=post_scale, post_shift=post_shift, post_relu=post_relu,
+    )
+    return out[: d["n_orig"]]
+
+
+def _forward_from_packed(
+    qy_p, qx_p, m_p, x_t, ewt, d, w, cout, v_window, interpret,
+    post_scale=None, post_shift=None, post_relu=False,
+):
+    """Kernel-only forward on pre-packed operands (split out so perf
+    harnesses can time the pallas_call separately from ``_prepare``)."""
+    import jax
+
+    h, cin = d["h"], d["cin"]
+    wp, nb, r_blk = d["wp"], d["nb"], d["r_blk"]
+    x = x_t  # packed (nb, H, cin, Wp); dtype drives the compute width
     epilogue = post_scale is not None
     # narrow cout would lane-pad the NHWC output tile (2x HBM bytes);
     # measured slower than the (cout, Wp) layout + XLA transpose
     nhwc_out = cout % 128 == 0
+    wj = _pick_wj(r_blk, cin, wp, jnp.dtype(x.dtype).itemsize)
 
     kernel = functools.partial(
         _kernel,
@@ -367,6 +412,7 @@ def _forward_impl(
         sub=d["sub"],
         v_window=v_window,
         r_blk=r_blk,
+        wj=wj,
         epilogue=epilogue,
         relu=post_relu,
         nhwc_out=nhwc_out,
@@ -411,12 +457,12 @@ def _forward_impl(
             (nb, h, wp, cout) if nhwc_out else (nb, h, cout, wp), x.dtype
         ),
         scratch_shapes=[
-            pltpu.VMEM((9 * cin, wp), x.dtype),
+            pltpu.VMEM((9 * cin, wj * wp), x.dtype),
         ],
         interpret=interpret,
     )(qy_p, qx_p, m_p, ewt, *ep_operands, x_t)
     unpack = _unpack_img_nhwc if nhwc_out else _unpack_img
-    return unpack(out, d["n"], d["p"], w)[: d["n_orig"]]
+    return unpack(out, d["n"], d["p"], w)
 
 
 @functools.partial(
