@@ -30,6 +30,48 @@ BASELINE_IMG_S = 104.0  # ~A100 img/s for ctdet DLA-34 512x512 (2x Titan Xp)
 WARMUP = 3
 ITERS = 30
 
+# bf16 peak FLOP/s per chip by device kind (for MFU). Sources: public TPU
+# spec sheets (v5e 197, v5p 459, v4 275, v6e/Trillium 918 TFLOP/s bf16).
+_PEAK_BF16 = (
+    ("v6 lite", 918e12), ("v6e", 918e12), ("v5 lite", 197e12),
+    ("v5e", 197e12), ("v5p", 459e12), ("v4", 275e12), ("v3", 123e12),
+)
+
+
+def _peak_flops() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in _PEAK_BF16:
+        if key in kind:
+            return peak
+    return 0.0
+
+
+def _model_flops(jitted, *args, dcn_bwd_mult: float = 0.0):
+    """FLOPs of one call: XLA cost analysis + the Pallas DCN ops'
+    algorithmic FLOPs (XLA attributes zero to custom calls; the kernel
+    logs its call shapes at trace time).  dcn_bwd_mult adds that multiple
+    of the forward DCN FLOPs for programs whose trace only logs the
+    forward calls (the custom-VJP backward kernels don't self-report);
+    a dense-conv backward is 2x the forward, so 2.0 for a train step."""
+    from detectron2_centernet_tpu.ops import pallas_dcn as P
+
+    try:
+        P.TRACE_SHAPES.clear()
+        compiled = jitted.lower(*args).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        xla = float(analysis.get("flops", 0.0))
+        fwd = sum(
+            2.0 * 9 * cin * cout * h * w * n
+            for (n, h, w, cin, cout) in P.TRACE_SHAPES
+        )
+        return xla + fwd * (1.0 + dcn_bwd_mult)
+    except Exception:  # noqa: BLE001  (cost_analysis is transport-dependent)
+        return None
+
 
 def _init_watchdog(seconds: int = 600):
     """Hard-exit if the backend never initializes (a wedged TPU relay makes
@@ -110,6 +152,12 @@ def main() -> None:
 
     extra = {"batch": batch, "dcn_impl": impl}
 
+    peak = _peak_flops()
+    infer_flops = _model_flops(predict, variables, images)
+    if infer_flops and peak:
+        extra["flops_per_img"] = round(infer_flops / batch / 1e9, 2)  # GFLOP
+        extra["mfu_infer"] = round(infer_flops / batch * img_s / peak, 4)
+
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         # the train step (Pallas fwd+bwd DCN kernels) compiles in ~4-5 min;
         # guard with an alarm so a compiler regression can never cost the
@@ -122,7 +170,7 @@ def main() -> None:
         signal.signal(signal.SIGALRM, _bail)
         signal.alarm(int(os.environ.get("BENCH_TRAIN_TIMEOUT", "480")))
         try:
-            extra["train_img_s"] = _bench_train(
+            extra["train_img_s"], extra["mfu_train"] = _bench_train(
                 cfg, model, int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
             )
         except Exception as e:  # noqa: BLE001
@@ -304,7 +352,12 @@ def _bench_train(cfg, model, batch) -> float:
     tr = batch * iters / dt
     print(f"train step: {tr:.2f} img/s ({dt / iters * 1e3:.1f} ms/iter)",
           file=sys.stderr)
-    return round(tr, 2)
+    mfu = None
+    peak = _peak_flops()
+    flops = _model_flops(step, state, data, dcn_bwd_mult=2.0)
+    if flops and peak:
+        mfu = round(flops / batch * tr / peak, 4)
+    return round(tr, 2), mfu
 
 
 if __name__ == "__main__":

@@ -366,12 +366,20 @@ def _tap_major_weight(weight, dtype):
     )
 
 
+# Trace-time log of forward-call shapes (n, h, w, cin, cout).  XLA cost
+# analysis attributes zero FLOPs to Pallas custom calls, so MFU accounting
+# (bench.py) replays this log to add the DCN ops' algorithmic FLOPs
+# (2*9*cin*cout*H*W each, i.e. dense-3x3-conv equivalent work).
+TRACE_SHAPES: list = []
+
+
 def _forward_impl(
     x, offset, mask, weight, v_window, interpret,
     post_scale=None, post_shift=None, post_relu=False,
 ):
     n, h, w, cin = x.shape
     cout = weight.shape[-1]
+    TRACE_SHAPES.append((n, h, w, cin, cout))
     assert pallas_dcn_supported(
         x.shape, v_window=v_window, interpret=interpret, dtype=x.dtype
     ), (x.shape, v_window, x.dtype)
