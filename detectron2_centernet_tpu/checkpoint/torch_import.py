@@ -68,16 +68,19 @@ def convert_torch_tensor(name: str, arr: np.ndarray) -> np.ndarray:
         d0, d1, kh, kw = arr.shape
         segs = name.split(".")
         owner = segs[-2] if len(segs) >= 2 else ""
-        is_deconv = name.endswith("weight") and (
-            "deconv" in name or owner.startswith("up")
-        )
-        if is_deconv:
-            flipped = arr[:, :, ::-1, ::-1]
-            if d1 == 1 and d0 > 1:
-                # grouped depthwise (C,1,KH,KW) -> (KH,KW,1,C)
+        if name.endswith("weight"):
+            # grouped depthwise up-kernel (C,1,KH,KW) — unambiguous shape;
+            # 'up*'-owned (DLA IDAUp) or explicit 'deconv' names
+            if ("deconv" in name or owner.startswith("up")) and d1 == 1 and d0 > 1:
+                flipped = arr[:, :, ::-1, ::-1]
                 return np.ascontiguousarray(np.transpose(flipped, (2, 3, 1, 0)))
-            # dense ConvTranspose2d (I,O,KH,KW) -> (KH,KW,I,O)
-            return np.ascontiguousarray(np.transpose(flipped, (2, 3, 0, 1)))
+            # dense ConvTranspose2d (I,O,KH,KW) -> (KH,KW,I,O): requires an
+            # explicit 'deconv' name — an 'up*'-owned name alone could be a
+            # regular Conv2d (e.g. 'upsample.conv') whose channels a blind
+            # deconv transpose would silently swap
+            if "deconv" in name:
+                flipped = arr[:, :, ::-1, ::-1]
+                return np.ascontiguousarray(np.transpose(flipped, (2, 3, 0, 1)))
         return np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
     if arr.ndim == 2:
         return arr.T  # (O, I) -> (I, O)

@@ -41,6 +41,10 @@ class DatasetMapper:
     def __init__(self, cfg: CfgNode, is_train: bool = True) -> None:
         self.is_train = is_train
         self.image_format = cfg.INPUT.FORMAT
+        if cfg.TEST.EXACT_MODE:
+            # pixel-exact parity with PIL-decoded reference goldens
+            # (cv2/libjpeg-turbo decode differs by +-1 LSB)
+            utils.FORCE_PIL_DECODE = True
         self.mask_on = bool(cfg.MODEL.MASK_ON)
         self.keypoint_on = bool(cfg.MODEL.KEYPOINT_ON)
         self.num_keypoints = int(cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS)
@@ -203,12 +207,17 @@ class DatasetMapper:
                     ),
                     np.float32,
                 )
-                order = np.argsort(-logits)[:k]
-                b = utils.apply_affine_to_boxes(m, raw[order])
+                # warp/clip/filter ALL proposals first, then take the top-K
+                # survivors by objectness — the reference transform_proposals
+                # (detection_utils.py:245-252) backfills from rank K+1 when
+                # warping degenerates a top-K box
+                b = utils.apply_affine_to_boxes(m, raw)
                 np.clip(b[:, 0::2], 0, out_size[1] - 1, out=b[:, 0::2])
                 np.clip(b[:, 1::2], 0, out_size[0] - 1, out=b[:, 1::2])
                 ok = (b[:, 2] - b[:, 0] > 1e-5) & (b[:, 3] - b[:, 1] > 1e-5)
-                b, lg = b[ok], logits[order][ok]
+                b, lg = b[ok], logits[ok]
+                order = np.argsort(-lg)[:k]
+                b, lg = b[order], lg[order]
                 pboxes[: len(b)] = b
                 plogits[: len(b)] = lg
                 pvalid[: len(b)] = True

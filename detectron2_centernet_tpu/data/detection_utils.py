@@ -42,6 +42,14 @@ def convert_PIL_to_numpy(image: Image.Image, format: Optional[str]) -> np.ndarra
     return image
 
 
+# When True, read_image always decodes through PIL. libjpeg-turbo (cv2)
+# and PIL differ in chroma upsampling/IDCT by up to +-1 LSB per pixel, so
+# pixel-exact parity with goldens produced through the reference's
+# PIL-based read_image needs this on.  Set automatically by DatasetMapper
+# under cfg.TEST.EXACT_MODE.
+FORCE_PIL_DECODE = False
+
+
 def read_image(file_name: str, format: Optional[str] = None) -> np.ndarray:
     """Read an image, apply EXIF rotation, convert to the given format
     (reference detection_utils.py:120-186).
@@ -49,9 +57,12 @@ def read_image(file_name: str, format: Optional[str] = None) -> np.ndarray:
     BGR/RGB take the cv2 fast path (libjpeg-turbo decode + EXIF orientation,
     ~1.2 ms/img cheaper than PIL on this host, and the output is contiguous
     — the PIL-based BGR conversion produced a negative-stride channel view
-    that roughly doubled the downstream cv2.warpAffine cost). Other formats
-    (L, YUV-BT.601) keep the PIL path for exact reference semantics."""
-    if format in ("BGR", "RGB"):
+    that roughly doubled the downstream cv2.warpAffine cost). Decoded pixels
+    can differ from PIL's by +-1; set FORCE_PIL_DECODE (TEST.EXACT_MODE
+    does) for pixel-exact parity with PIL-decoded reference goldens. Other
+    formats (L, YUV-BT.601) keep the PIL path for exact reference
+    semantics."""
+    if format in ("BGR", "RGB") and not FORCE_PIL_DECODE:
         import cv2
 
         img = cv2.imread(file_name, cv2.IMREAD_COLOR)  # BGR, EXIF applied

@@ -188,6 +188,11 @@ def inference_on_dataset(
     ):
         total_data_time += time.perf_counter() - start_data_time
         if idx == num_warmup:
+            # drain the last pre-warmup batch BEFORE resetting the timers so
+            # its fetch/eval cost never leaks into the post-warmup totals
+            if pending is not None:
+                _finish(pending)
+                pending = None
             start_time = time.perf_counter()
             total_compute_time = 0.0
             total_eval_time = 0.0

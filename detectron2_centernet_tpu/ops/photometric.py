@@ -105,8 +105,12 @@ def device_color_aug_ssd(
     the HSV hue walk). The reference's random op ORDER (contrast before vs
     after saturation+hue) is a coin flip; both orders are linear ops at
     these magnitudes and commute to first approximation, so a fixed order
-    is used. Values clip to [0, 255] once at the end (the reference clips
-    after every op)."""
+    is used. Clipping to [0, 255] happens after the brightness and contrast
+    stages and once at the end, matching the reference's per-op clipping
+    where it changes the distribution (brightness/contrast excursions must
+    not feed unclipped values into the later stages). Known deviation:
+    saturation is a luma gray-blend (cv2 convertScaleAbs-style) rather than
+    an HSV S-channel scale — equivalent to first order, cheaper on VPU."""
     n = images.shape[0]
     x = images.astype(jnp.float32)
     ks = jax.random.split(rng, 8)
@@ -118,10 +122,10 @@ def device_color_aug_ssd(
     beta = jax.random.uniform(
         ks[0], (n, 1, 1, 1), minval=-brightness_delta, maxval=brightness_delta
     )
-    x = x + gate(ks[1]) * beta
+    x = jnp.clip(x + gate(ks[1]) * beta, 0.0, 255.0)
     # contrast: multiplicative
     alpha = jax.random.uniform(ks[2], (n, 1, 1, 1), minval=contrast[0], maxval=contrast[1])
-    x = x * (1.0 + gate(ks[3]) * (alpha - 1.0))
+    x = jnp.clip(x * (1.0 + gate(ks[3]) * (alpha - 1.0)), 0.0, 255.0)
     # saturation: blend with grayscale (the HSV S-scale equivalent)
     s = jax.random.uniform(ks[4], (n, 1, 1, 1), minval=saturation[0], maxval=saturation[1])
     w = 1.0 + gate(ks[5]) * (s - 1.0)
