@@ -96,24 +96,31 @@ def _flatten_boundary_channels(torch_sd: Dict[str, np.ndarray]) -> Dict[str, int
     flattened NCHW feature. Our flax modules flatten NHWC, so that fc
     weight's input dim must be permuted from (C, H, W)-major to
     (H, W, C)-major at import (H = W assumed: every pooled roi feature in
-    this framework is square). Returns {torch_key: conv_out_channels}."""
+    this framework is square). The flattened feature may come from a conv
+    EARLIER than the immediately-preceding one (Mask R-CNN's box-head fc
+    follows the RPN's 12-channel anchor_deltas conv in state-dict order but
+    consumes the 256-channel pooled FPN feature), so candidate channel
+    counts are walked newest-first until one divides the fc input into a
+    square spatial extent. Returns {torch_key: conv_out_channels}."""
     out: Dict[str, int] = {}
-    last_w_ndim, last_w_cout = 0, 0
+    last_w_ndim = 0
+    couts: List[int] = []  # 4-D couts in state-dict order
     for k, v in torch_sd.items():
         if not k.endswith("weight") or v.ndim not in (2, 4):
             continue
         if v.ndim == 2 and last_w_ndim == 4:
-            c = last_w_cout
-            hw = v.shape[1] // c if c and v.shape[1] % c == 0 else 0
-            side = int(round(hw ** 0.5)) if hw else 0
-            if side and side * side == hw:
-                out[k] = c
+            for c in reversed(couts):
+                hw = v.shape[1] // c if c and v.shape[1] % c == 0 else 0
+                side = int(round(hw ** 0.5)) if hw else 0
+                if side and side * side == hw:
+                    out[k] = c
+                    break
         if v.ndim == 4:
             # conv OIHW -> out = d0; deconv (I, O, kh, kw) -> out = d1
             segs = k.split(".")
             owner = segs[-2] if len(segs) >= 2 else ""
             is_deconv = "deconv" in k or owner.startswith("up")
-            last_w_cout = v.shape[1] if is_deconv else v.shape[0]
+            couts.append(v.shape[1] if is_deconv else v.shape[0])
         last_w_ndim = v.ndim
     return out
 

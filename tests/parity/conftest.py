@@ -203,6 +203,13 @@ def _install_stubs(torch):
 
         fvhb.HistoryBuffer = HistoryBuffer
         fvc.history_buffer = fvhb
+
+        # rcnn.py type-annotates with fvcore CfgNode; ours is duck-compatible
+        fvcfg = types.ModuleType("fvcore.common.config")
+        from detectron2_centernet_tpu.config import CfgNode as _OurCfg
+
+        fvcfg.CfgNode = _OurCfg
+        fvc.config = fvcfg
         sys.modules.update(
             {
                 "fvcore": fv,
@@ -212,6 +219,7 @@ def _install_stubs(torch):
                 "fvcore.common.registry": fvreg,
                 "fvcore.common.file_io": fvio,
                 "fvcore.common.history_buffer": fvhb,
+                "fvcore.common.config": fvcfg,
             }
         )
 
@@ -262,11 +270,94 @@ def _install_stubs(torch):
             offsets = idxs.to(boxes) * (max_coordinate + torch.tensor(1).to(boxes))
             return _nms(boxes + offsets[:, None], scores, iou_threshold)
 
+        def _roi_align(
+            input, rois, output_size, spatial_scale=1.0, sampling_ratio=0,
+            aligned=False,
+        ):
+            """Exact torchvision/detectron2 ROIAlign semantics in vectorized
+            numpy (per ROIAlign_cpu.cpp: bin-center sample grid, border
+            handling of bilinear_interpolate, sample-count ceil when
+            sampling_ratio=0) — the reference ROIPooler and
+            BitMasks.crop_and_resize call this during whole-model goldens."""
+            import math as _math
+
+            ph, pw = (
+                (output_size, output_size)
+                if isinstance(output_size, int)
+                else tuple(output_size)
+            )
+            inp = input.detach().numpy().astype(np.float64)
+            rois_np = rois.detach().numpy().astype(np.float64)
+            _, C, H, W = inp.shape
+            R = rois_np.shape[0]
+            out = np.zeros((R, C, ph, pw), np.float64)
+            off = 0.5 if aligned else 0.0
+
+            def axis_interp(v, size):
+                valid = (v >= -1.0) & (v <= size)
+                vc = np.clip(v, 0.0, size - 1)
+                lo = np.floor(vc).astype(np.int64)
+                lo = np.minimum(lo, size - 1)
+                hi = np.minimum(lo + 1, size - 1)
+                frac = vc - lo
+                return valid, lo, hi, frac
+
+            for r in range(R):
+                b = int(rois_np[r, 0])
+                x1 = rois_np[r, 1] * spatial_scale - off
+                y1 = rois_np[r, 2] * spatial_scale - off
+                rw = rois_np[r, 3] * spatial_scale - off - x1
+                rh = rois_np[r, 4] * spatial_scale - off - y1
+                if not aligned:
+                    rw, rh = max(rw, 1.0), max(rh, 1.0)
+                bh, bw = rh / ph, rw / pw
+                sy = sampling_ratio if sampling_ratio > 0 else max(
+                    1, int(_math.ceil(rh / ph))
+                )
+                sx = sampling_ratio if sampling_ratio > 0 else max(
+                    1, int(_math.ceil(rw / pw))
+                )
+                ys = (
+                    y1
+                    + np.arange(ph)[:, None] * bh
+                    + (np.arange(sy)[None, :] + 0.5) * bh / sy
+                ).reshape(-1)
+                xs = (
+                    x1
+                    + np.arange(pw)[:, None] * bw
+                    + (np.arange(sx)[None, :] + 0.5) * bw / sx
+                ).reshape(-1)
+                vy, y0, y1i, fy = axis_interp(ys, H)
+                vx, x0, x1i, fx = axis_interp(xs, W)
+                img = inp[b]  # (C, H, W)
+                v00 = img[:, y0][:, :, x0]
+                v01 = img[:, y0][:, :, x1i]
+                v10 = img[:, y1i][:, :, x0]
+                v11 = img[:, y1i][:, :, x1i]
+                wy0, wy1 = (1.0 - fy)[:, None], fy[:, None]
+                wx0, wx1 = (1.0 - fx)[None, :], fx[None, :]
+                val = (
+                    v00 * wy0 * wx0 + v01 * wy0 * wx1
+                    + v10 * wy1 * wx0 + v11 * wy1 * wx1
+                )
+                val = val * (vy[:, None] & vx[None, :])
+                out[r] = val.reshape(C, ph, sy, pw, sx).mean(axis=(2, 4))
+            return torch.from_numpy(out.astype(np.float32))
+
+        class RoIPool(torch.nn.Module):  # imported by poolers.py, unused
+            def __init__(self, *a, **k):
+                super().__init__()
+                raise_on_call = None  # constructed only for "ROIPool" type
+
+            def forward(self, *a):
+                raise RuntimeError("RoIPool stub: not implemented")
+
         tvboxes.nms = _nms
         tvboxes.batched_nms = _batched_nms
         tvops.boxes = tvboxes
         tvops.nms = _nms
-        tvops.roi_align = _nms
+        tvops.roi_align = _roi_align
+        tvops.RoIPool = RoIPool
         tv.ops = tvops
         sys.modules.update(
             {
@@ -397,6 +488,12 @@ def ref_full(ref):
         mod = importlib.import_module(f"detectron2.structures.{leaf}")
         for n in names:
             setattr(structures, n, getattr(mod, n))
+    # rrpn.py imports it under the rotated alias (calls hit the _C stub)
+    structures.pairwise_iou_rotated = sys.modules[
+        "detectron2.structures"
+    ].RotatedBoxes and importlib.import_module(
+        "detectron2.structures.rotated_boxes"
+    ).pairwise_iou
 
     backbone_pkg = sys.modules["detectron2.modeling.backbone"]
     bb_build = importlib.import_module("detectron2.modeling.backbone.build")
@@ -431,6 +528,43 @@ def ref_full(ref):
     ns.fast_rcnn = importlib.import_module("detectron2.modeling.roi_heads.fast_rcnn")
     ns.postprocessing = importlib.import_module("detectron2.modeling.postprocessing")
     ns.events = importlib.import_module("detectron2.utils.events")
+    return ns
+
+
+@pytest.fixture(scope="session")
+def ref_rcnn(ref_full):
+    """ref_full extended with the complete two-stage stack: RPN,
+    StandardROIHeads (box/mask/keypoint heads, poolers) and the
+    GeneralizedRCNN meta-arch (reference rcnn.py:25-259), runnable on CPU
+    through the numpy roi_align stub."""
+    import importlib
+
+    ns = ref_full
+    backbone_pkg = sys.modules["detectron2.modeling.backbone"]
+    bb = importlib.import_module("detectron2.modeling.backbone.backbone")
+    backbone_pkg.Backbone = bb.Backbone
+
+    pg_pkg_name = "detectron2.modeling.proposal_generator"
+    if pg_pkg_name not in sys.modules:
+        m = types.ModuleType(pg_pkg_name)
+        m.__path__ = [os.path.join(REF, "detectron2", "modeling", "proposal_generator")]
+        sys.modules[pg_pkg_name] = m
+        sys.modules["detectron2.modeling"].proposal_generator = m
+    pg_pkg = sys.modules[pg_pkg_name]
+    pg_build = importlib.import_module(f"{pg_pkg_name}.build")
+    ns.rpn = importlib.import_module(f"{pg_pkg_name}.rpn")  # registers RPN
+    pg_pkg.build_proposal_generator = pg_build.build_proposal_generator
+
+    rh_pkg = sys.modules["detectron2.modeling.roi_heads"]
+    ns.roi_heads = importlib.import_module(
+        "detectron2.modeling.roi_heads.roi_heads"
+    )  # registers StandardROIHeads/Res5ROIHeads
+    rh_pkg.build_roi_heads = ns.roi_heads.build_roi_heads
+    ns.mask_head = importlib.import_module(
+        "detectron2.modeling.roi_heads.mask_head"
+    )
+    ns.structures_masks = importlib.import_module("detectron2.structures.masks")
+    ns.rcnn = importlib.import_module("detectron2.modeling.meta_arch.rcnn")
     return ns
 
 
