@@ -28,15 +28,27 @@ class CfgNode(dict):
     """
 
     IMMUTABLE = "__immutable__"
+    NEW_ALLOWED = "__new_allowed__"
 
-    def __init__(self, init_dict: Dict[str, Any] = None) -> None:
+    def __init__(
+        self, init_dict: Dict[str, Any] = None, new_allowed: bool = False
+    ) -> None:
         init_dict = {} if init_dict is None else init_dict
         super().__init__()
         object.__setattr__(self, CfgNode.IMMUTABLE, False)
+        # yacs semantics: a new_allowed node accepts unknown keys at merge
+        # time (reference DensePose's DATASETS.CATEGORY_MAPS etc.)
+        object.__setattr__(self, CfgNode.NEW_ALLOWED, new_allowed)
         for k, v in init_dict.items():
             if isinstance(v, dict) and not isinstance(v, CfgNode):
                 v = CfgNode(v)
             super().__setitem__(k, v)
+
+    def is_new_allowed(self) -> bool:
+        try:
+            return object.__getattribute__(self, CfgNode.NEW_ALLOWED)
+        except AttributeError:  # nodes deserialized without the slot
+            return False
 
     # -- attribute access ---------------------------------------------------
     def __getattr__(self, name: str) -> Any:
@@ -86,6 +98,7 @@ class CfgNode(dict):
         cls = self.__class__
         result = cls.__new__(cls)
         object.__setattr__(result, CfgNode.IMMUTABLE, False)
+        object.__setattr__(result, CfgNode.NEW_ALLOWED, self.is_new_allowed())
         memo[id(self)] = result
         for k, v in self.items():
             dict.__setitem__(result, copy.deepcopy(k, memo), copy.deepcopy(v, memo))
@@ -206,6 +219,9 @@ def _merge_into(src: CfgNode, dst: CfgNode, key_path: List[str]) -> None:
     for k, v in src.items():
         full_key = ".".join(key_path + [k])
         if k not in dst:
+            if dst.is_new_allowed():
+                dst[k] = CfgNode(v) if isinstance(v, dict) else v
+                continue
             raise KeyError(f"Non-existent config key: {full_key}")
         if isinstance(v, CfgNode) or isinstance(v, dict):
             if not isinstance(dst[k], CfgNode):

@@ -219,6 +219,13 @@ def _sem_seg_head_defaults() -> CN:
     # projects/DeepLab loss.py:6-40, top-k fraction from LOSS_TOP_K)
     s.LOSS_TYPE = "cross_entropy"
     s.LOSS_TOP_K = 0.2
+    # DeepLabV3(+) head settings (reference projects/DeepLab config.py:17-21,
+    # folded into the main tree like the other project keys)
+    s.PROJECT_FEATURES = ["res2"]
+    s.PROJECT_CHANNELS = [48]
+    s.ASPP_CHANNELS = 256
+    s.ASPP_DILATIONS = [6, 12, 18]
+    s.ASPP_DROPOUT = 0.1
     return s
 
 

@@ -150,6 +150,8 @@ def register_learnable_instances(
     max_objs: int = 3,
     num_classes: int = 3,
     seed: int = 0,
+    keypoints: bool = False,
+    sem_seg: bool = False,
 ) -> None:
     """Synthetic scenes a small detector can actually master.
 
@@ -183,33 +185,68 @@ def register_learnable_instances(
                     float(x0), float(y0), float(x0 + bw), float(y0),
                     float(x0 + bw), float(y0 + bh), float(x0), float(y0 + bh),
                 ]
-                annos.append(
-                    {
-                        "bbox": [float(x0), float(y0), float(bw), float(bh)],
-                        "bbox_mode": 1,  # XYWH_ABS
-                        "category_id": cat,
-                        "iscrowd": 0,
-                        "segmentation": [poly],
-                    }
-                )
-            dicts.append(
-                {
-                    "image": img,
-                    "file_name": f"synthetic://{name}/{i}.png",
-                    "height": h,
-                    "width": w,
-                    "image_id": i,
-                    "annotations": annos,
+                anno = {
+                    "bbox": [float(x0), float(y0), float(bw), float(bh)],
+                    "bbox_mode": 1,  # XYWH_ABS
+                    "category_id": cat,
+                    "iscrowd": 0,
+                    "segmentation": [poly],
                 }
-            )
+                if keypoints:
+                    # fixed box-relative fractions: "keypoint k sits at a
+                    # fixed spot in the box" is exactly learnable, and the
+                    # 4x5 grid keeps every keypoint visible and distinct
+                    kpts = []
+                    for k in range(_NUM_KPTS):
+                        kpts += [
+                            float(x0 + (k % 4 + 1) * bw / 5.0),
+                            float(y0 + (k // 4 + 1) * bh / 6.0),
+                            2.0,
+                        ]
+                    anno["keypoints"] = kpts
+                annos.append(anno)
+            d = {
+                "image": img,
+                "file_name": f"synthetic://{name}/{i}.png",
+                "height": h,
+                "width": w,
+                "image_id": i,
+                "annotations": annos,
+            }
+            if sem_seg:
+                # stuff label = color identity (+1; 0 is background):
+                # learnable pixel-wise from color alone
+                seg = np.zeros((h, w), np.uint8)
+                for a in annos:
+                    x0, y0, bw, bh = (int(v) for v in a["bbox"])
+                    seg[y0 : y0 + bh, x0 : x0 + bw] = a["category_id"] + 1
+                d["sem_seg"] = seg
+            dicts.append(d)
         return dicts
 
     DatasetCatalog.register(name, load)
-    MetadataCatalog.get(name).set(
+    meta = MetadataCatalog.get(name)
+    meta.set(
         thing_classes=[f"color_{i}" for i in range(num_classes)],
-        evaluator_type="coco",
+        evaluator_type="sem_seg" if sem_seg else "coco",
         synthetic=True,
     )
+    if sem_seg:
+        meta.set(
+            stuff_classes=["background"]
+            + [f"color_{i}" for i in range(num_classes)],
+            ignore_label=255,
+        )
+    if keypoints:
+        from .builtin_meta import (
+            COCO_PERSON_KEYPOINT_FLIP_MAP,
+            COCO_PERSON_KEYPOINT_NAMES,
+        )
+
+        meta.set(
+            keypoint_names=COCO_PERSON_KEYPOINT_NAMES,
+            keypoint_flip_map=COCO_PERSON_KEYPOINT_FLIP_MAP,
+        )
 
 
 def ensure_synthetic_datasets(names: Iterable[str]) -> None:
@@ -231,8 +268,16 @@ def ensure_synthetic_datasets(names: Iterable[str]) -> None:
         if name.startswith("synth_learnable"):
             # the training-accuracy dataset (class == color, no overlap);
             # train and test on the same scenes, like the reference's
-            # *training_acc_test.yaml reusing coco_2017_val_100
-            register_learnable_instances(name)
+            # *training_acc_test.yaml reusing coco_2017_val_100.  Name
+            # suffixes select the annotation flavor: _kp adds box-relative
+            # keypoints (single class, like person keypoints), _semseg adds
+            # color-identity stuff labels.
+            if "_kp" in name:
+                register_learnable_instances(name, keypoints=True, num_classes=1)
+            elif "_semseg" in name:
+                register_learnable_instances(name, sem_seg=True)
+            else:
+                register_learnable_instances(name)
             continue
         register_synthetic_instances(
             name,

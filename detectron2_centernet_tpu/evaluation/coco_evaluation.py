@@ -47,6 +47,11 @@ def instances_to_coco_json(instances, img_id: int) -> List[dict]:
         from ..structures.rle import mask_to_rle
 
         rles = [mask_to_rle(np.asarray(m)) for m in instances.pred_masks]
+    has_keypoints = instances.has("pred_keypoints")
+    if has_keypoints:
+        # reference :371-378: pixel-index convention, -0.5 on the coords
+        kpts = np.asarray(instances.pred_keypoints, np.float64).copy()
+        kpts[:, :, :2] -= 0.5
     results = []
     for k in range(num_instance):
         r = {
@@ -57,6 +62,8 @@ def instances_to_coco_json(instances, img_id: int) -> List[dict]:
         }
         if has_mask:
             r["segmentation"] = rles[k]
+        if has_keypoints:
+            r["keypoints"] = kpts[k].flatten().tolist()
         results.append(r)
     return results
 
@@ -74,6 +81,11 @@ class COCOEvaluator(DatasetEvaluator):
         self._distributed = distributed
         self._output_dir = output_dir
         self._use_fast_impl = use_fast_impl
+        self._kpt_oks_sigmas = (
+            list(cfg.TEST.KEYPOINT_OKS_SIGMAS)
+            if cfg is not None and len(cfg.TEST.KEYPOINT_OKS_SIGMAS)
+            else None
+        )
         self._metadata = MetadataCatalog.get(dataset_name)
         self._predictions: List[dict] = []
 
@@ -152,6 +164,18 @@ class COCOEvaluator(DatasetEvaluator):
                 gt_segm, dt_segm, img_ids, cat_ids, iou_type="segm"
             )
             out["segm"] = self._derive_coco_results(segm_eval)
+
+        if any("keypoints" in r for r in coco_results):
+            gt_kp = [
+                a for a in self._coco_gt["annotations"] if a.get("keypoints")
+            ]
+            dt_kp = [r for r in coco_results if "keypoints" in r]
+            kp_eval = self._evaluate_predictions_on_coco(
+                gt_kp, dt_kp, img_ids, cat_ids, iou_type="keypoints"
+            )
+            out["keypoints"] = self._derive_coco_results(
+                kp_eval, iou_type="keypoints"
+            )
         return out
 
     def _gt_segm_rles(self) -> List[dict]:
@@ -174,6 +198,25 @@ class COCOEvaluator(DatasetEvaluator):
         return out
 
     def _evaluate_predictions_on_coco(self, gt_anns, coco_results, img_ids, cat_ids, iou_type="bbox"):
+        if iou_type == "keypoints":
+            # OKS sigmas come from cfg TEST.KEYPOINT_OKS_SIGMAS when given;
+            # the numpy evaluator carries the COCO-17 defaults. The C++ fast
+            # path covers bbox/segm only (like the reference's, which also
+            # routes keypoints through pycocotools proper).
+            sigmas = self._kpt_oks_sigmas
+            nk = len(coco_results[0]["keypoints"]) // 3
+            if sigmas is not None and len(sigmas) != nk:
+                raise ValueError(
+                    f"TEST.KEYPOINT_OKS_SIGMAS has {len(sigmas)} entries but "
+                    f"predictions carry {nk} keypoints"
+                )
+            ev = COCOEval(
+                gt_anns, coco_results, img_ids, cat_ids, iou_type,
+                kpt_oks_sigmas=sigmas,
+            )
+            ev.evaluate()
+            ev.summarize()
+            return ev
         if self._use_fast_impl:
             try:
                 from ..ops.fast_cocoeval import FastCOCOEval
@@ -189,13 +232,17 @@ class COCOEvaluator(DatasetEvaluator):
         ev.summarize()
         return ev
 
-    def _derive_coco_results(self, coco_eval) -> Dict[str, float]:
-        metrics = ["AP", "AP50", "AP75", "APs", "APm", "APl"]
+    def _derive_coco_results(self, coco_eval, iou_type="bbox") -> Dict[str, float]:
+        metrics = (
+            ["AP", "AP50", "AP75", "APm", "APl"]
+            if iou_type == "keypoints"
+            else ["AP", "AP50", "AP75", "APs", "APm", "APl"]
+        )
         results = {
             metric: float(coco_eval.stats[idx] * 100)
             for idx, metric in enumerate(metrics)
         }
-        logger.info("Evaluation results for bbox:\n" + str(results))
+        logger.info(f"Evaluation results for {iou_type}:\n" + str(results))
 
         # per-category table (reference :262-300)
         thing_classes = self._metadata.get("thing_classes")

@@ -69,6 +69,12 @@ class COCOEval:
     }
     MAX_DETS = (1, 10, 100)
 
+    # COCO person-keypoint OKS sigmas (pycocotools Params.setKpParams)
+    KPT_OKS_SIGMAS = np.array(
+        [.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+         1.07, 1.07, .87, .87, .89, .89]
+    ) / 10.0
+
     def __init__(
         self,
         gt_anns: List[dict],
@@ -76,9 +82,22 @@ class COCOEval:
         img_ids: Sequence,
         cat_ids: Sequence,
         iou_type: str = "bbox",
+        kpt_oks_sigmas: Optional[Sequence[float]] = None,
     ) -> None:
-        assert iou_type in ("bbox", "segm", "rotated_bbox"), iou_type
+        assert iou_type in ("bbox", "segm", "rotated_bbox", "keypoints"), iou_type
         self.iou_type = iou_type
+        if iou_type == "keypoints":
+            # pycocotools keypoint params: maxDets [20], no "small" range
+            self.MAX_DETS = (20,)
+            self.AREA_RNG = {
+                "all": (0.0, 1e10),
+                "medium": (32.0 ** 2, 96.0 ** 2),
+                "large": (96.0 ** 2, 1e10),
+            }
+        self.kpt_oks_sigmas = np.asarray(
+            kpt_oks_sigmas if kpt_oks_sigmas is not None else self.KPT_OKS_SIGMAS,
+            np.float64,
+        )
         self.img_ids = list(img_ids)
         self.cat_ids = list(cat_ids)
         self._gts = defaultdict(list)
@@ -93,6 +112,13 @@ class COCOEval:
                 g.setdefault("area", rle_area(g["segmentation"]))
             g.setdefault("iscrowd", 0)
             g["ignore"] = g.get("ignore", 0) or g["iscrowd"]
+            if iou_type == "keypoints":
+                # pycocotools _prepare: gts with no labeled keypoints ignore
+                nk = g.get(
+                    "num_keypoints",
+                    int(np.count_nonzero(np.asarray(g["keypoints"])[2::3] > 0)),
+                )
+                g["ignore"] = g["ignore"] or nk == 0
             self._gts[(g["image_id"], g["category_id"])].append(g)
         for d in dt_anns:
             d = dict(d)
@@ -164,6 +190,8 @@ class COCOEval:
         }
 
     def _compute_iou(self, dts, gts, iscrowd) -> np.ndarray:
+        if self.iou_type == "keypoints":
+            return self._compute_oks(dts, gts)
         if self.iou_type == "rotated_bbox":
             from ..structures.rotated_boxes import pairwise_iou_rotated
 
@@ -181,6 +209,35 @@ class COCOEval:
         g_boxes = np.array([g["bbox"] for g in gts], np.float64).reshape(-1, 4)
         d_boxes = np.array([d["bbox"] for d in dts], np.float64).reshape(-1, 4)
         return iou_xywh(d_boxes, g_boxes, iscrowd)
+
+    def _compute_oks(self, dts, gts) -> np.ndarray:
+        """Object keypoint similarity (pycocotools COCOeval.computeOks)."""
+        sig = self.kpt_oks_sigmas
+        var = (sig * 2.0) ** 2
+        k = len(sig)
+        ious = np.zeros((len(dts), len(gts)), np.float64)
+        for j, gt in enumerate(gts):
+            g = np.asarray(gt["keypoints"], np.float64)
+            xg, yg, vg = g[0::3], g[1::3], g[2::3]
+            k1 = int(np.count_nonzero(vg > 0))
+            bb = gt["bbox"]
+            x0, x1 = bb[0] - bb[2], bb[0] + bb[2] * 2
+            y0, y1 = bb[1] - bb[3], bb[1] + bb[3] * 2
+            for i, dt in enumerate(dts):
+                d = np.asarray(dt["keypoints"], np.float64)
+                xd, yd = d[0::3], d[1::3]
+                if k1 > 0:
+                    dx, dy = xd - xg, yd - yg
+                else:
+                    # no labeled keypoints: distance to the 2x-expanded box
+                    z = np.zeros((k,))
+                    dx = np.maximum(z, x0 - xd) + np.maximum(z, xd - x1)
+                    dy = np.maximum(z, y0 - yd) + np.maximum(z, yd - y1)
+                e = (dx ** 2 + dy ** 2) / var / (gt["area"] + np.spacing(1)) / 2
+                if k1 > 0:
+                    e = e[vg > 0]
+                ious[i, j] = np.sum(np.exp(-e)) / e.shape[0]
+        return ious
 
     # -- accumulate ----------------------------------------------------------
     def evaluate(self) -> None:
@@ -263,7 +320,24 @@ class COCOEval:
         return float(valid.mean()) if valid.size else -1.0
 
     def summarize(self) -> np.ndarray:
-        """The 12-number COCO stats vector."""
+        """The 12-number COCO stats vector (10 for keypoints)."""
+        if self.iou_type == "keypoints":
+            md = self.MAX_DETS[-1]
+            self.stats = np.array(
+                [
+                    self._summarize(True, max_dets=md),
+                    self._summarize(True, iou_thr=0.5, max_dets=md),
+                    self._summarize(True, iou_thr=0.75, max_dets=md),
+                    self._summarize(True, area="medium", max_dets=md),
+                    self._summarize(True, area="large", max_dets=md),
+                    self._summarize(False, max_dets=md),
+                    self._summarize(False, iou_thr=0.5, max_dets=md),
+                    self._summarize(False, iou_thr=0.75, max_dets=md),
+                    self._summarize(False, area="medium", max_dets=md),
+                    self._summarize(False, area="large", max_dets=md),
+                ]
+            )
+            return self.stats
         self.stats = np.array(
             [
                 self._summarize(True),
@@ -288,7 +362,7 @@ class COCOEval:
         assert self.eval is not None
         out = {}
         a = list(self.AREA_RNG).index("all")
-        m = list(self.MAX_DETS).index(100)
+        m = len(self.MAX_DETS) - 1  # top maxDets (100; 20 for keypoints)
         for k, cat_id in enumerate(self.cat_ids):
             p = self.eval["precision"][:, :, k, a, m]
             valid = p[p > -1]

@@ -29,11 +29,14 @@ class SemSegEvaluator(DatasetEvaluator):
         self._ignore_label = (
             ignore_label if ignore_label is not None else meta.get("ignore_label", 255)
         )
-        self._gt = {
-            d["image_id"]: d["sem_seg_file_name"]
-            for d in DatasetCatalog.get(dataset_name)
-            if "sem_seg_file_name" in d
-        }
+        # gt per image: a PNG path (reference semantics) or an in-memory
+        # label array (synthetic datasets carry "sem_seg" directly)
+        self._gt = {}
+        for d in DatasetCatalog.get(dataset_name):
+            if "sem_seg_file_name" in d:
+                self._gt[d["image_id"]] = d["sem_seg_file_name"]
+            elif "sem_seg" in d:
+                self._gt[d["image_id"]] = np.asarray(d["sem_seg"])
         self._conf: Optional[np.ndarray] = None
 
     def reset(self) -> None:
@@ -46,10 +49,13 @@ class SemSegEvaluator(DatasetEvaluator):
         n = self._num_classes
         for inp, out in zip(inputs, outputs):
             pred = np.asarray(out["sem_seg"], np.int64)
-            gt_file = self._gt.get(inp["image_id"])
-            if gt_file is None:
+            gt_src = self._gt.get(inp["image_id"])
+            if gt_src is None:
                 continue
-            gt = np.asarray(Image.open(gt_file), np.int64)
+            if isinstance(gt_src, str):
+                gt = np.asarray(Image.open(gt_src), np.int64)
+            else:
+                gt = gt_src.astype(np.int64)  # copy: don't mutate the catalog
             gt[gt == self._ignore_label] = n
             self._conf += np.bincount(
                 (n + 1) * pred.reshape(-1) + gt.reshape(-1),

@@ -257,6 +257,9 @@ class GeneralizedRCNN:
         self.rpn_in_features = tuple(r.IN_FEATURES)
         strides_map = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64, "p7": 128,
                        "res2": 4, "res3": 8, "res4": 16, "res5": 32}
+        # backbones with non-FPN level naming (HRFPN's p1 is stride 4)
+        # declare their own strides
+        strides_map.update(getattr(self.backbone, "out_feature_strides", {}))
         self.rpn_strides = [strides_map[f] for f in self.rpn_in_features]
         self.anchor_generator = build_anchor_generator(cfg, self.rpn_strides)
         self.num_anchors_per_cell = self.anchor_generator.num_anchors[0]
@@ -275,6 +278,7 @@ class GeneralizedRCNN:
         self.roi_type = {
             "StandardROIHeads": "standard",
             "PointRendROIHeads": "standard",  # reference PointRend ROI head
+            "DensePoseROIHeads": "standard",  # densepose rides the extension
             "CascadeROIHeads": "cascade",
         }.get(rh.NAME, "res5")
         ch = cfg.MODEL.ROI_BOX_CASCADE_HEAD

@@ -61,6 +61,39 @@ class SemSegFPNHead(nn.Module):
         )
 
 
+class DeepLabV3Head(nn.Module):
+    """DeepLabV3 semantic head (reference projects/DeepLab/deeplab/
+    semantic_seg.py DeepLabV3Head): ASPP over the single (dilated) deep
+    feature + 1x1 predictor, upsampled to input resolution. No decoder —
+    that's the V3+ variant below."""
+
+    in_features: Tuple[str, ...]  # ("res5",) on the dilated trunk
+    strides: Tuple[int, ...]
+    num_classes: int
+    convs_dim: int = 256
+    common_stride: int = 16
+    aspp_dilations: Tuple[int, int, int] = (6, 12, 18)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Dict[str, jnp.ndarray], train: bool = False) -> jnp.ndarray:
+        from ..layers import ASPP
+
+        deep = features[self.in_features[-1]]
+        x = ASPP(
+            self.convs_dim, dilations=tuple(self.aspp_dilations),
+            dtype=self.dtype, name="aspp",
+        )(deep, train)
+        logits = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32, name="predictor")(
+            x.astype(jnp.float32)
+        )
+        n, h, w, c = logits.shape
+        up = self.common_stride
+        return jax.image.resize(
+            logits, (n, h * up, w * up, c), method="bilinear"
+        )
+
+
 class DeepLabV3PlusHead(nn.Module):
     """DeepLabV3+ semantic head (the capability of the reference's
     ``projects/DeepLab``): ASPP over the deepest feature + low-level fusion
@@ -71,6 +104,7 @@ class DeepLabV3PlusHead(nn.Module):
     num_classes: int
     convs_dim: int = 256
     common_stride: int = 4
+    aspp_dilations: Tuple[int, int, int] = (6, 12, 18)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -79,7 +113,10 @@ class DeepLabV3PlusHead(nn.Module):
 
         low = features[self.in_features[0]]
         deep = features[self.in_features[-1]]
-        x = ASPP(self.convs_dim, dtype=self.dtype, name="aspp")(deep, train)
+        x = ASPP(
+            self.convs_dim, dilations=tuple(self.aspp_dilations),
+            dtype=self.dtype, name="aspp",
+        )(deep, train)
         n, h, w, c = x.shape
         lh, lw = low.shape[1:3]
         x = jax.image.resize(x, (n, lh, lw, c), method="bilinear")
@@ -270,9 +307,10 @@ class SemanticSegmentor:
         )
         head_cls = {
             "SemSegFPNHead": SemSegFPNHead,
+            "DeepLabV3Head": DeepLabV3Head,
             "DeepLabV3PlusHead": DeepLabV3PlusHead,
         }[coarse_name]
-        head = head_cls(
+        head_kwargs = dict(
             in_features=in_features,
             strides=tuple(strides_map[f] for f in in_features),
             num_classes=self.num_classes,
@@ -280,6 +318,9 @@ class SemanticSegmentor:
             common_stride=int(s.COMMON_STRIDE),
             dtype=dtype,
         )
+        if coarse_name != "SemSegFPNHead":
+            head_kwargs["aspp_dilations"] = tuple(s.ASPP_DILATIONS)
+        head = head_cls(**head_kwargs)
         if self.point_rend:
             ph = cfg.MODEL.POINT_HEAD
             head = PointRendSemSegHead(

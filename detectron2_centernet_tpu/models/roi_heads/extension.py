@@ -77,7 +77,15 @@ class ROIHeadExtension:
 
 
 def build_roi_head_extensions(cfg):
-    return [
-        ROI_HEAD_EXTENSION_REGISTRY.get(name)(cfg)
-        for name in cfg.MODEL.ROI_HEADS.EXTENSIONS
-    ]
+    names = list(cfg.MODEL.ROI_HEADS.EXTENSIONS)
+    # the reference's DensePose configs select the head via
+    # ROI_HEADS.NAME "DensePoseROIHeads" (densepose/roi_head.py); here the
+    # same capability is the DensePoseExtension plug-in, so those configs
+    # load unmodified
+    if (
+        cfg.MODEL.ROI_HEADS.NAME == "DensePoseROIHeads"
+        and "DensePoseExtension" in ROI_HEAD_EXTENSION_REGISTRY
+        and "DensePoseExtension" not in names
+    ):
+        names.append("DensePoseExtension")
+    return [ROI_HEAD_EXTENSION_REGISTRY.get(name)(cfg) for name in names]

@@ -235,7 +235,7 @@ def _pack_factor(w: int) -> int:
 def _pick_wj(r_blk: int, cin: int, wp: int, itemsize: int) -> int:
     """Rows batched per weight contraction: the largest divisor of r_blk
     whose (9*cin, wj*wp) sample buffer stays under ~2.5 MB of VMEM."""
-    budget = int(2.5 * 2**20)
+    budget = int(float(__import__('os').environ.get('DCN_WJ_BUDGET_MB', '2.5')) * 2**20)
     wj = 1
     for cand in (2, 4, 8):
         if r_blk % cand == 0 and 9 * cin * cand * wp * itemsize <= budget:

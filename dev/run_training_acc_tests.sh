@@ -16,6 +16,8 @@ if [ ${#CFG_LIST[@]} -eq 0 ]; then
     ./configs/quick_schedules/ctdet_dla_synth_training_acc_test.yaml
     ./configs/quick_schedules/retinanet_synth_training_acc_test.yaml
     ./configs/quick_schedules/mask_rcnn_synth_training_acc_test.yaml
+    ./configs/quick_schedules/keypoint_rcnn_synth_training_acc_test.yaml
+    ./configs/quick_schedules/semantic_synth_training_acc_test.yaml
   )
 fi
 

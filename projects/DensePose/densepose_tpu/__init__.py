@@ -17,6 +17,7 @@ Registered through the framework's ``ROI_HEAD_EXTENSION_REGISTRY``
 from .config import add_densepose_config
 from .data import DensePoseDatasetMapper, load_densepose_coco_json
 from .evaluator import DensePoseEvaluator
+from .hrnet import HRFPN, HRNet, build_hrfpn_backbone
 from .modeling import (
     DensePoseChartPredictor,
     DensePoseExtension,
@@ -25,10 +26,13 @@ from .modeling import (
 
 __all__ = [
     "add_densepose_config",
+    "build_hrfpn_backbone",
     "DensePoseChartPredictor",
     "DensePoseDatasetMapper",
     "DensePoseEvaluator",
     "DensePoseExtension",
     "DensePoseHead",
+    "HRFPN",
+    "HRNet",
     "load_densepose_coco_json",
 ]
