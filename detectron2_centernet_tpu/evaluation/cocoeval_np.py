@@ -69,6 +69,9 @@ class COCOEval:
     }
     MAX_DETS = (1, 10, 100)
 
+    # subclasses may register additional iou types (projects/DensePose)
+    EXTRA_IOU_TYPES: tuple = ()
+
     # COCO person-keypoint OKS sigmas (pycocotools Params.setKpParams)
     KPT_OKS_SIGMAS = np.array(
         [.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
@@ -84,7 +87,9 @@ class COCOEval:
         iou_type: str = "bbox",
         kpt_oks_sigmas: Optional[Sequence[float]] = None,
     ) -> None:
-        assert iou_type in ("bbox", "segm", "rotated_bbox", "keypoints"), iou_type
+        assert iou_type in (
+            ("bbox", "segm", "rotated_bbox", "keypoints") + self.EXTRA_IOU_TYPES
+        ), iou_type
         self.iou_type = iou_type
         if iou_type == "keypoints":
             # pycocotools keypoint params: maxDets [20], no "small" range
@@ -181,6 +186,9 @@ class COCOEval:
             [d["area"] < area_rng[0] or d["area"] > area_rng[1] for d in dts], bool
         )
         dt_ignore |= (dtm == 0) & d_out[None]
+        # subclass hook (DensePose: unmatched dets on ignored gts with high
+        # box IoU inherit the ignore flag, densepose_coco_evaluation.py:750-772)
+        self._post_match_ignore(dts, gts, g_ignore, dtm, gtm, dt_ignore)
         return {
             "dt_matches": dtm,
             "dt_scores": np.array([d["score"] for d in dts], np.float64),
@@ -188,6 +196,9 @@ class COCOEval:
             "gt_ignore": g_ignore,
             "num_gt": int((~g_ignore).sum()),
         }
+
+    def _post_match_ignore(self, dts, gts, g_ignore, dtm, gtm, dt_ignore):
+        """Hook for subclasses to adjust ignore flags after matching."""
 
     def _compute_iou(self, dts, gts, iscrowd) -> np.ndarray:
         if self.iou_type == "keypoints":
