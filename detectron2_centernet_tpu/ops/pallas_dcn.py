@@ -91,6 +91,7 @@ def _kernel(
     epilogue: bool = False,
     relu: bool = False,
     nhwc_out: bool = True,
+    raw_q: bool = False,  # q refs hold RAW bf16 off_y/off_x/mask (fast prep)
 ):
     if epilogue:
         scale_ref, shift_ref, x_ref, o_ref, vfull = rest
@@ -145,7 +146,10 @@ def _kernel(
             a = jnp.clip(r0 + j + (g - 1) - v_window, 0, h - sub)
             xs = x_ref[0, pl.ds(a, sub)].reshape(sub * cin, wp)
             qx3 = qx_j[g : g + 1]  # (1, 3*Wp)
-            if bf16_tent:
+            if raw_q:
+                # fast prep: qx3 IS off_x (bf16) — the nominal grid cancelled
+                hxt = jnp.maximum(0.0, 1.0 - jnp.abs(c_base - qx3))
+            elif bf16_tent:
                 delta3 = (qx3 - nominal).astype(cdt)  # = off_x, small
                 hxt = jnp.maximum(0.0, 1.0 - jnp.abs(c_base - delta3))
             else:
@@ -164,7 +168,15 @@ def _kernel(
             #    strictly more accurate)
             # vertical tent on absolute row coords (correct zero-padding),
             # modulation folded in; <=2 rows are non-zero per output pixel
-            if bf16_tent:
+            if raw_q:
+                # qy3 IS off_y (bf16); the integer row base (r0+j+g-1 - a)
+                # is reconstructed from scalars — f32 add then one bf16
+                # round, identical to the f32-prep path's (qy - a) cast
+                base = (r0 + j + (g - 1) - a).astype(f32)
+                dy3 = (qy_j[g : g + 1].astype(f32) + base).astype(cdt)
+                ty3 = (jnp.maximum(0.0, 1.0 - jnp.abs(sub_c - dy3)) *
+                       m_j[g : g + 1]).astype(f32)  # (sub, 3*Wp)
+            elif bf16_tent:
                 dy3 = (qy_j[g : g + 1] - a.astype(f32)).astype(cdt)
                 ty3 = (jnp.maximum(0.0, 1.0 - jnp.abs(sub_c - dy3)) *
                        m_j[g : g + 1].astype(cdt)).astype(f32)  # (sub, 3*Wp)
@@ -322,6 +334,55 @@ def _prepare(x, offset, mask, v_window):
     return qy_p, qx_p, m_p, x_t, dims
 
 
+def _prepare_bf16(x, offset, mask, v_window):
+    """bf16 forward fast prep: skips the f32 coordinate grids entirely.
+
+    The bf16 kernel path only ever consumes ``q - nominal`` — which is
+    exactly the RAW offset (the nominal grid, kernel-tap and packing-slot
+    terms all cancel against the in-kernel ``nominal`` iota) — plus the
+    modulation mask.  Since the offset conv runs in bf16 (layers.py), the
+    f32 prep's grid sums were exact and rounded back to the same bf16
+    values the kernel cast to anyway, so packing raw bf16 ``off_y / off_x
+    / mask`` is bit-identical to ``_prepare`` + the bf16 kernel — at half
+    the relayout bytes and none of the grid-add passes (measured: prep was
+    ~42% of DCN time at B=64, dev/profile_dcn.py)."""
+    n, h, w, cin = x.shape
+    r_blk = _pick_r_blk(h)
+    sub = min(h, 2 * v_window + 2)
+    p = _pack_factor(w)
+    n_orig = n
+    if n % p != 0:  # pad the batch to a multiple of the packing factor
+        padn = p - n % p
+        x = jnp.concatenate([x, jnp.zeros((padn,) + x.shape[1:], x.dtype)], 0)
+        offset = jnp.concatenate(
+            [offset, jnp.zeros((padn,) + offset.shape[1:], offset.dtype)], 0
+        )
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((padn,) + mask.shape[1:], mask.dtype)], 0
+        )
+        n = n + padn
+    wp = w * p
+    nb = n // p
+
+    bf = jnp.bfloat16
+
+    def pack_raw(q):  # (N, H, W, 9) -> (nb, H, 3, 3*Wp), lane = t*Wp+pk*w+x'
+        q = q.reshape(nb, p, h, w, 3, 3)
+        q = q.transpose(0, 2, 4, 5, 1, 3)  # (nb, H, g, t, pk, w)
+        return q.reshape(nb, h, 3, 3 * wp)
+
+    off = offset.astype(bf).reshape(n, h, w, 9, 2)
+    oy_p = pack_raw(off[..., 0])
+    ox_p = pack_raw(off[..., 1])
+    m_p = pack_raw(mask.astype(bf))
+    x_t = _pack_img(x, nb, p, wp)
+    dims = dict(
+        n=n, n_orig=n_orig, h=h, w=w, cin=cin, wp=wp, nb=nb, p=p,
+        r_blk=r_blk, sub=sub,
+    )
+    return oy_p, ox_p, m_p, x_t, dims
+
+
 def _pack_img(x, nb, p, wp):
     """(N, H, W, C) NHWC -> (nb, H, C, Wp) with p images packed on lanes."""
     n, h, w, c = x.shape
@@ -373,6 +434,15 @@ def _tap_major_weight(weight, dtype):
 TRACE_SHAPES: list = []
 
 
+def _raw_q_enabled() -> bool:
+    """Debug gate: PALLAS_DCN_RAW_Q=0 forces the f32 grid prep even for
+    bf16 inputs (the two are bit-identical by construction; the gate lets
+    tests assert that and lets perf triage isolate the prep stage)."""
+    import os
+
+    return os.environ.get("PALLAS_DCN_RAW_Q", "1") != "0"
+
+
 def _forward_impl(
     x, offset, mask, weight, v_window, interpret,
     post_scale=None, post_shift=None, post_relu=False,
@@ -384,18 +454,21 @@ def _forward_impl(
         x.shape, v_window=v_window, interpret=interpret, dtype=x.dtype
     ), (x.shape, v_window, x.dtype)
     assert offset.shape == (n, h, w, 18) and mask.shape == (n, h, w, 9)
-    qy_p, qx_p, m_p, x_t, d = _prepare(x, offset, mask, v_window)
+    raw_q = x.dtype == jnp.bfloat16 and _raw_q_enabled()
+    prep = _prepare_bf16 if raw_q else _prepare
+    qy_p, qx_p, m_p, x_t, d = prep(x, offset, mask, v_window)
     ewt = _tap_major_weight(weight, x.dtype).T  # (9cin, cout)
     out = _forward_from_packed(
         qy_p, qx_p, m_p, x_t, ewt, d, w, cout, v_window, interpret,
         post_scale=post_scale, post_shift=post_shift, post_relu=post_relu,
+        raw_q=raw_q,
     )
     return out[: d["n_orig"]]
 
 
 def _forward_from_packed(
     qy_p, qx_p, m_p, x_t, ewt, d, w, cout, v_window, interpret,
-    post_scale=None, post_shift=None, post_relu=False,
+    post_scale=None, post_shift=None, post_relu=False, raw_q=False,
 ):
     """Kernel-only forward on pre-packed operands (split out so perf
     harnesses can time the pallas_call separately from ``_prepare``)."""
@@ -424,6 +497,7 @@ def _forward_from_packed(
         epilogue=epilogue,
         relu=post_relu,
         nhwc_out=nhwc_out,
+        raw_q=raw_q,
     )
     qspec = pl.BlockSpec(
         (1, r_blk, 3, 3 * wp), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
@@ -513,21 +587,50 @@ def _row_chunk(sub: int, cin: int) -> int:
     return min(sub, c)
 
 
-def _bwd_common(qx3, qy3, m3, a, xiota, subiota, same_img, w_img, wp):
-    """Recompute the forward tents + their position derivatives."""
+def _bwd_common(qx3, qy3, m3, a, xiota, subiota, same_img, w_img, wp,
+                raw=None):
+    """Recompute the forward tents + their position derivatives.
+
+    With ``raw=(c_base, ibase)`` the q refs hold RAW bf16 offsets (fast
+    prep): the absolute positions are reconstructed from the integer
+    constants — ``dhx = c_base - off_x`` and ``dvy = (subiota - ibase) -
+    off_y`` — which is bit-identical f32 math because the offsets were
+    bf16-representable to begin with (the offset conv runs in bf16).
+    Cross-image lanes are premasked into ``c_base`` (|dhx| ~ 4096 zeroes
+    both the tent and its derivative), so the where() pass drops out."""
     f32 = jnp.float32
-    dhx = xiota - qx3
+    if raw is not None:
+        c_base, ibase = raw
+        dhx = c_base - qx3.astype(f32)
+        dvy = (subiota - ibase) - qy3.astype(f32)
+        m3 = m3.astype(f32)
+        same_img = None
+    else:
+        dhx = xiota - qx3
+        dvy = (subiota + a.astype(f32)) - qy3
     hxt = jnp.maximum(0.0, 1.0 - jnp.abs(dhx))
     dtx = jnp.sign(dhx) * (jnp.abs(dhx) < 1.0)
-    if w_img != wp:
+    if same_img is not None:
         hxt = jnp.where(same_img, hxt, 0.0)
         dtx = jnp.where(same_img, dtx, 0.0)
-    rowc = subiota + a.astype(f32)
-    dvy = rowc - qy3
     tenty = jnp.maximum(0.0, 1.0 - jnp.abs(dvy))
     ty3 = tenty * m3
     dty = jnp.sign(dvy) * (jnp.abs(dvy) < 1.0) * m3
     return hxt, dtx, ty3, tenty, dty
+
+
+def _raw_c_base(wp, w_img):
+    """f32 (wp, 3*Wp) integer tent-base constant for raw-offset q refs:
+    C[x, lane] = x - nominal(lane), cross-image entries premasked to 4096."""
+    f32 = jnp.float32
+    xi = jax.lax.broadcasted_iota(jnp.int32, (wp, 3 * wp), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (wp, 3 * wp), 1)
+    nominal = lane % wp + lane // wp - 1
+    c = (xi - nominal).astype(f32)
+    if w_img != wp:
+        same = (xi // w_img) == ((lane % wp) // w_img)
+        c = jnp.where(same, c, 4096.0)
+    return c
 
 
 def _make_iotas(wp, sub, w_img):
@@ -570,7 +673,7 @@ def _bwd_dx_kernel(
     g_ref,  # (1, r_blk, cout, Wp) — upstream cotangent
     dx_ref,  # out (1, H, cin, Wp) f32, block constant over the row grid dim
     *,
-    h, wp, w_img, cin, cout, sub, v_window, r_blk,
+    h, wp, w_img, cin, cout, sub, v_window, r_blk, wj=1, raw_q=False,
 ):
     """dX = sum over taps of (ty * dV) contracted back through the
     horizontal tents; accumulated into the whole-image block."""
@@ -583,10 +686,19 @@ def _bwd_dx_kernel(
         dx_ref[...] = jnp.zeros(dx_ref.shape, dx_ref.dtype)
 
     xiota, subiota, same_img = _make_iotas(wp, sub, w_img)
+    c_base = _raw_c_base(wp, w_img) if raw_q else None
     cr = _row_chunk(sub, cin)
+    dvfull_blk = None
     for j in range(r_blk):
-        g_j = g_ref[0, j].astype(cdt)
-        dvfull = _dot(ewt_ref[:], g_j, ((1,), (0,)), cdt).astype(cdt)
+        jj = j % wj
+        if jj == 0:
+            # row-batched cotangent spread: one (cout)-deep MXU dot per wj
+            # rows instead of per row (same win as the forward's wj batching)
+            g_blk = jnp.concatenate(
+                [g_ref[0, j + b].astype(cdt) for b in range(wj)], axis=1
+            )  # (cout, wj*Wp)
+            dvfull_blk = _dot(ewt_ref[:], g_blk, ((1,), (0,)), cdt).astype(cdt)
+        dvfull = dvfull_blk[:, jj * wp : (jj + 1) * wp]
         for gi in range(3):
             a = jnp.clip(r0 + j + (gi - 1) - v_window, 0, h - sub)
             hxt, _, ty3, _, _ = _bwd_common(
@@ -594,6 +706,8 @@ def _bwd_dx_kernel(
                 qy_ref[0, j, gi : gi + 1].reshape(1, 3 * wp),
                 m_ref[0, j, gi : gi + 1].reshape(1, 3 * wp),
                 a, xiota, subiota, same_img, w_img, wp,
+                raw=(c_base, (r0 + j + (gi - 1) - a).astype(jnp.float32))
+                if raw_q else None,
             )
             hxt = hxt.astype(cdt)
             ty3 = ty3.astype(cdt)
@@ -614,13 +728,14 @@ def _bwd_dq_kernel(
     g_ref,  # (1, r_blk, cout, Wp)
     dq_ref,  # out (3, 1, r_blk, 3, 3*Wp) f32 — [dqy, dqx, dm] planes
     *,
-    h, wp, w_img, cin, cout, sub, v_window, r_blk,
+    h, wp, w_img, cin, cout, sub, v_window, r_blk, wj=1, raw_q=False,  # wj unused (lean split path)
 ):
     """Offset / modulation-mask cotangents through the tent derivatives."""
     rb = pl.program_id(1)
     r0 = rb * r_blk
     cdt = x_ref.dtype
     xiota, subiota, same_img = _make_iotas(wp, sub, w_img)
+    c_base = _raw_c_base(wp, w_img) if raw_q else None
     cr = _row_chunk(sub, cin)
     for j in range(r_blk):
         g_j = g_ref[0, j].astype(cdt)
@@ -633,6 +748,8 @@ def _bwd_dq_kernel(
                 qy_ref[0, j, gi : gi + 1].reshape(1, 3 * wp),
                 m_ref[0, j, gi : gi + 1].reshape(1, 3 * wp),
                 a, xiota, subiota, same_img, w_img, wp,
+                raw=(c_base, (r0 + j + (gi - 1) - a).astype(jnp.float32))
+                if raw_q else None,
             )
             hxt = hxt.astype(cdt)
             dv3 = _dv3_of(dvfull, gi, cin)
@@ -683,7 +800,7 @@ def _bwd_dw_kernel(
     dew_ref,  # out (cout, 9*cin) f32, accumulated across the whole grid
     vfull,  # VMEM scratch (9*cin, Wp)
     *,
-    h, wp, w_img, cin, cout, sub, v_window, r_blk,
+    h, wp, w_img, cin, cout, sub, v_window, r_blk, wj=1, raw_q=False,  # wj unused (lean split path)
 ):
     """dW: recompute the folded samples Vfull and contract with g."""
     b = pl.program_id(0)
@@ -696,6 +813,7 @@ def _bwd_dw_kernel(
         dew_ref[...] = jnp.zeros(dew_ref.shape, dew_ref.dtype)
 
     xiota, subiota, same_img = _make_iotas(wp, sub, w_img)
+    c_base = _raw_c_base(wp, w_img) if raw_q else None
     cr = _row_chunk(sub, cin)
     dew_acc = jnp.zeros((cout, 9 * cin), jnp.float32)
     for j in range(r_blk):
@@ -706,6 +824,8 @@ def _bwd_dw_kernel(
                 qy_ref[0, j, gi : gi + 1].reshape(1, 3 * wp),
                 m_ref[0, j, gi : gi + 1].reshape(1, 3 * wp),
                 a, xiota, subiota, same_img, w_img, wp,
+                raw=(c_base, (r0 + j + (gi - 1) - a).astype(jnp.float32))
+                if raw_q else None,
             )
             hxt = hxt.astype(cdt)
             ty3 = ty3.astype(cdt)
@@ -736,13 +856,17 @@ def _bwd_dqdw_kernel(
     g_ref,  # (1, r_blk, cout, Wp)
     dq_ref,  # out (3, 1, r_blk, 3, 3*Wp) f32 — [dqy, dqx, dm] planes
     dew_ref,  # out (cout, 9*cin) f32, accumulated across the whole grid
-    vfull,  # VMEM scratch (9*cin, Wp)
+    vfull,  # VMEM scratch (9*cin, wj*Wp)
     *,
-    h, wp, w_img, cin, cout, sub, v_window, r_blk,
+    h, wp, w_img, cin, cout, sub, v_window, r_blk, wj=1, raw_q=False,
 ):
     """Fused dOffset/dMask + dW backward: one tent recompute and ONE
     ``g3 = Xsub @ hxt`` MXU pass feed both cotangents (the split kernels
-    each redid that contraction — the single largest backward cost)."""
+    each redid that contraction — the single largest backward cost).
+    The two per-row weight-space dots (cotangent spread ``EW @ g`` and the
+    dW contraction ``g @ Vfull``) are batched over ``wj`` rows on the lane
+    axis — per-row they run at ~3% MXU utilization (same measurement as
+    the forward's weight dot)."""
     b = pl.program_id(0)
     rb = pl.program_id(1)
     r0 = rb * r_blk
@@ -753,10 +877,17 @@ def _bwd_dqdw_kernel(
         dew_ref[...] = jnp.zeros(dew_ref.shape, dew_ref.dtype)
 
     xiota, subiota, same_img = _make_iotas(wp, sub, w_img)
+    c_base = _raw_c_base(wp, w_img) if raw_q else None
     cr = _row_chunk(sub, cin)
+    g_blk = dvfull_blk = None
     for j in range(r_blk):
-        g_j = g_ref[0, j].astype(cdt)
-        dvfull = _dot(ewt_ref[:], g_j, ((1,), (0,)), cdt).astype(cdt)
+        jj = j % wj
+        if jj == 0:
+            g_blk = jnp.concatenate(
+                [g_ref[0, j + bb].astype(cdt) for bb in range(wj)], axis=1
+            )  # (cout, wj*Wp)
+            dvfull_blk = _dot(ewt_ref[:], g_blk, ((1,), (0,)), cdt).astype(cdt)
+        dvfull = dvfull_blk[:, jj * wp : (jj + 1) * wp]
         dq_rows = []
         for gi in range(3):
             a = jnp.clip(r0 + j + (gi - 1) - v_window, 0, h - sub)
@@ -765,6 +896,8 @@ def _bwd_dqdw_kernel(
                 qy_ref[0, j, gi : gi + 1].reshape(1, 3 * wp),
                 m_ref[0, j, gi : gi + 1].reshape(1, 3 * wp),
                 a, xiota, subiota, same_img, w_img, wp,
+                raw=(c_base, (r0 + j + (gi - 1) - a).astype(jnp.float32))
+                if raw_q else None,
             )
             hxt = hxt.astype(cdt)
             dv3 = _dv3_of(dvfull, gi, cin)
@@ -811,17 +944,18 @@ def _bwd_dqdw_kernel(
             dq_rows.append((dqy3, dqx3, dm3))
             for t in range(3):
                 k = gi * 3 + t
-                vfull[k * cin : (k + 1) * cin, :] = (
+                vfull[k * cin : (k + 1) * cin, jj * wp : (jj + 1) * wp] = (
                     v3[:, t * wp : (t + 1) * wp].astype(vfull.dtype)
                 )
         for comp in range(3):
             dq_ref[comp, 0, j] = jnp.concatenate(
                 [dq_rows[gi][comp] for gi in range(3)], axis=0
             )
-        dew_ref[...] += _dot(g_j, vfull[:], ((1,), (1,)), cdt)
+        if jj == wj - 1:
+            dew_ref[...] += _dot(g_blk, vfull[:], ((1,), (1,)), cdt)
 
 
-def _fused_bwd_vmem_bytes(h, wp, cin, cout, sub, r_blk, itemsize) -> int:
+def _fused_bwd_vmem_bytes(h, wp, cin, cout, sub, r_blk, itemsize, wj=1) -> int:
     """Rough VMEM footprint of the fused dq+dw kernel (blocks + the large
     temporaries); used to fall back to the split passes near the 16 MB
     scoped-VMEM limit (the cin=512 DLAUp stage is borderline)."""
@@ -833,10 +967,11 @@ def _fused_bwd_vmem_bytes(h, wp, cin, cout, sub, r_blk, itemsize) -> int:
         + r_blk * cout * wp * itemsize       # g block
         + 3 * r_blk * 3 * 3 * wp * 4         # dq out
         + cout * 9 * cin * 4                 # dew out
-        + 9 * cin * wp * itemsize            # vfull scratch
+        + 9 * cin * wj * wp * itemsize       # vfull scratch (wj-wide)
     )
     temps = (
-        9 * cin * wp * 4                     # dvfull
+        9 * cin * wj * wp * itemsize         # dvfull_blk
+        + cout * wj * wp * itemsize          # g_blk
         + cin * 3 * wp * itemsize            # dv3
         + wp * 3 * wp * 4                    # dh3
         + cin * 3 * wp * 4                   # v3
@@ -848,7 +983,9 @@ def _fused_bwd_vmem_bytes(h, wp, cin, cout, sub, r_blk, itemsize) -> int:
 def _backward_impl(x, offset, mask, weight, gout, v_window, interpret):
     n, h, w, cin = x.shape
     cout = weight.shape[-1]
-    qy_p, qx_p, m_p, x_t, d = _prepare(x, offset, mask, v_window)
+    raw_q = x.dtype == jnp.bfloat16 and _raw_q_enabled()
+    prep = _prepare_bf16 if raw_q else _prepare
+    qy_p, qx_p, m_p, x_t, d = prep(x, offset, mask, v_window)
     wp, nb, p, r_blk = d["wp"], d["nb"], d["p"], d["r_blk"]
     if gout.shape[0] != d["n"]:  # batch was padded
         gout = jnp.concatenate(
@@ -858,9 +995,12 @@ def _backward_impl(x, offset, mask, weight, gout, v_window, interpret):
     g_t = _pack_img(gout.astype(x.dtype), nb, p, wp)
     ewt = _tap_major_weight(weight, x.dtype).T  # (9cin, cout)
 
+    # row batching for the per-row weight-space dots; itemsize doubled to
+    # cover the f32-accumulating dvfull temp alongside the vfull scratch
+    wj = _pick_wj(r_blk, cin, wp, 2 * jnp.dtype(x.dtype).itemsize)
     dims = dict(
         h=h, wp=wp, w_img=w, cin=cin, cout=cout, sub=d["sub"],
-        v_window=v_window, r_blk=r_blk,
+        v_window=v_window, r_blk=r_blk, wj=wj, raw_q=raw_q,
     )
     grid = (nb, h // r_blk)
     qspec = pl.BlockSpec(
@@ -898,7 +1038,7 @@ def _backward_impl(x, offset, mask, weight, gout, v_window, interpret):
         (cout, 9 * cin), lambda b, r: (0, 0), memory_space=pltpu.VMEM
     )
     fused_bytes = _fused_bwd_vmem_bytes(
-        h, wp, cin, cout, d["sub"], r_blk, jnp.dtype(x.dtype).itemsize
+        h, wp, cin, cout, d["sub"], r_blk, jnp.dtype(x.dtype).itemsize, wj=wj
     )
     import os
 
@@ -922,7 +1062,7 @@ def _backward_impl(x, offset, mask, weight, gout, v_window, interpret):
                 jax.ShapeDtypeStruct((3, nb, h, 3, 3 * wp), jnp.float32),
                 jax.ShapeDtypeStruct((cout, 9 * cin), jnp.float32),
             ],
-            scratch_shapes=[pltpu.VMEM((9 * cin, wp), x.dtype)],
+            scratch_shapes=[pltpu.VMEM((9 * cin, wj * wp), x.dtype)],
             interpret=interpret,
         )(qy_p, qx_p, m_p, ewt, x_t, g_t)
     else:

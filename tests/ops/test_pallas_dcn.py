@@ -238,3 +238,65 @@ def test_lane_packing_matches_exact():
     got = dcn_conv_pallas(x, off, mask, wgt, None, v_window=3, interpret=True)
     ref = modulated_deform_conv(x, off, mask, wgt, None, window=0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def _bf16_inputs(n=2, h=16, w=32, c=16, co=16, off_scale=2.0, seed=11):
+    """Inputs pre-rounded to bf16 so the exact-op reference sees the same
+    values the raw-offset fast prep packs verbatim."""
+    rng = np.random.RandomState(seed)
+    bf = jnp.bfloat16
+    x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32).astype(bf)
+    off = jnp.asarray(
+        (rng.rand(n, h, w, 18) * 2 - 1) * off_scale, jnp.float32
+    ).astype(bf)
+    mask = jnp.asarray(rng.rand(n, h, w, 9), jnp.float32).astype(bf)
+    wgt = jnp.asarray(rng.randn(3, 3, c, co) * 0.1, jnp.float32).astype(bf)
+    bias = jnp.asarray(rng.randn(co), jnp.float32).astype(bf)
+    return x, off, mask, wgt, bias
+
+
+def test_bf16_raw_prep_matches_exact():
+    """The bf16 fast path (``_prepare_bf16`` raw-offset prep + raw_q kernel)
+    vs the exact XLA op evaluated on the same bf16-rounded values in f32.
+    Tolerance is bf16 resolution over the 9-tap accumulation."""
+    x, off, mask, wgt, bias = _bf16_inputs()
+    got = dcn_conv_pallas(x, off, mask, wgt, bias, v_window=3, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    f32 = lambda t: jnp.asarray(t, jnp.float32)
+    ref = modulated_deform_conv(
+        f32(x), f32(off), f32(mask), f32(wgt), f32(bias), window=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref), atol=0.06, rtol=0.05
+    )
+
+
+def test_bf16_raw_prep_bit_identical_to_f32_prep(monkeypatch):
+    """The raw-offset fast prep (``_prepare_bf16`` + raw_q kernel) must be
+    BIT-identical to the f32 grid prep + bf16-tent kernel, forward and
+    backward — the grid terms cancel algebraically, so any difference is a
+    packing/reconstruction bug (PALLAS_DCN_RAW_Q=0 forces the old path)."""
+    from detectron2_centernet_tpu.ops.pallas_dcn import dcn_conv_pallas_ad
+
+    x, off, mask, wgt, bias = _bf16_inputs(off_scale=2.5, seed=12)
+
+    def grads():
+        def loss(xx, oo, mm, ww, bb):
+            out = dcn_conv_pallas_ad(xx, oo, mm, ww, bb, v_window=3, interpret=True)
+            return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+
+        fwd = dcn_conv_pallas(x, off, mask, wgt, bias, v_window=3, interpret=True)
+        g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, off, mask, wgt, bias)
+        return [fwd] + list(g)
+
+    monkeypatch.setenv("PALLAS_DCN_RAW_Q", "1")
+    jax.clear_caches()  # dcn_conv_pallas is jitted; the env gate is trace-time
+    new = grads()
+    monkeypatch.setenv("PALLAS_DCN_RAW_Q", "0")
+    jax.clear_caches()
+    old = grads()
+    names = ["fwd", "dx", "doffset", "dmask", "dweight", "dbias"]
+    for name, a, b in zip(names, new, old):
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), err_msg=name
+        )

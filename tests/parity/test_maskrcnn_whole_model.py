@@ -50,8 +50,12 @@ def _maskrcnn_cfg():
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = NUM_CLASSES
     cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p2", "p3", "p4", "p5"]
     cfg.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
-    # keep-everything sampling (see module docstring)
-    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 8192
+    # keep-everything sampling (see module docstring).  The default anchor
+    # generator emits 5 sizes x 3 aspects per location (~20.5k anchors at
+    # IMG=128 over p2-p6), so the budget must exceed ALL negatives or the
+    # reference subsamples them with the unseeded global RNG and
+    # loss_rpn_cls varies ~1e-3 run-to-run (flaked at 8192).
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 65536
     cfg.MODEL.RPN.POSITIVE_FRACTION = 0.5
     cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = POST_NMS_TRAIN + MAX_GT
     cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION = 1.0
