@@ -221,14 +221,17 @@ class BilinearUpsample(nn.Module):
     Equivalent of the reference's grouped ``ConvTranspose2d(o, o, f*2,
     stride=f, padding=f//2, groups=o, bias=False)`` (dla.py:162-165).
 
-    TPU-native formulation: an input-dilated depthwise conv is VPU-
-    pathological under XLA (measured 3.5-7.7 ms per DLA-34 call at B=64,
-    ~42 ms/iter total — 28% of the whole forward), because 1/f^2 of the
-    dilated taps are non-zero and depthwise convs never reach the MXU.
-    Since k = 2f and stride = f, each output pixel reads exactly 2 input
-    taps per axis, so the op is computed phase-decomposed: f^2 shifted
-    4-term FMAs over the input followed by one pixel-shuffle reshape —
-    pure elementwise work XLA fuses into a single output-bandwidth pass."""
+    Two formulations, picked per shape (both bit-exact vs a float64 oracle,
+    tests/ops; measured on v5e at the DLA-34 call shapes, B=64):
+    * phase-decomposed: since k = 2f and stride = f, each output pixel
+      reads exactly 2 input taps per axis, so the op is f^2 shifted 4-term
+      FMAs + one contiguous pixel-shuffle reshape.  Wins at small spatial
+      extents (<= 32x32: 1.5 vs 1.6 ms at 16^2x256, 1.8 vs 2.1 at
+      32^2x128) where the dilated conv's window setup dominates.
+    * input-dilated depthwise conv (one XLA conv op): wins at large
+      extents (2.4 vs 5.3 ms at 64^2x64) and for f > 2, where the phase
+      path's f^2 full-size phase tensors re-read the input per phase and
+      the concatenate doubles the HBM traffic."""
 
     factor: int
     dtype: Any = jnp.float32
@@ -246,6 +249,17 @@ class BilinearUpsample(nn.Module):
         kernel = self.param("kernel", init, (size, size, 1, c), jnp.float32)
         kern = kernel.astype(self.dtype)
         xd = x.astype(self.dtype)
+        if f != 2 or h * w > 32 * 32:
+            pad = size - 1 - f // 2
+            return jax.lax.conv_general_dilated(
+                xd,
+                kern,
+                window_strides=(1, 1),
+                padding=((pad, pad), (pad, pad)),
+                lhs_dilation=(f, f),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c,
+            )
         taps = _deconv_phase_taps(f)
         # offsets are in {-1, 0, 1}: one ring of zero padding covers all
         xp = jnp.pad(xd, ((0, 0), (1, 1), (1, 1), (0, 0)))
