@@ -23,6 +23,7 @@ from .modeling import (
     DensePoseExtension,
     DensePoseHead,
 )
+from .structures import DensePoseResult, DensePoseResultExtractor
 
 __all__ = [
     "add_densepose_config",
@@ -32,6 +33,8 @@ __all__ = [
     "DensePoseEvaluator",
     "DensePoseExtension",
     "DensePoseHead",
+    "DensePoseResult",
+    "DensePoseResultExtractor",
     "HRFPN",
     "HRNet",
     "load_densepose_coco_json",

@@ -1,0 +1,160 @@
+"""DensePose result structures: box-resampled IUV rasters + compact codec.
+
+Counterpart of the reference's ``densepose/data/structures.py``
+``DensePoseResult`` (:536-640): per detection, the chart outputs are
+resampled from the fixed head raster into the detection box and packed as
+a ``(3, h, w)`` uint8 IUV array (part index, U*255, V*255), then
+PNG-compressed to a base64 string — the format ``apply_net.py dump``
+emits, ``query_db``-style tooling consumes, and the visualizers render.
+
+TPU-shape deviation (documented): the reference keeps per-part LOGIT
+volumes per detection and bilinearly resamples those before the argmax
+(:555-580).  This framework's jitted inference already reduces to
+``dp_labels`` (argmaxed part id) / ``dp_u`` / ``dp_v`` rasters of static
+size, so the resample interpolates part ids nearest-neighbor and U/V
+bilinearly — identical away from part boundaries, one-texel differences
+possible along them.
+"""
+
+import base64
+from io import BytesIO
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+__all__ = [
+    "DensePoseResult",
+    "DensePoseResultExtractor",
+    "resample_iuv_to_bbox",
+]
+
+
+def _bilinear_resize(arr: np.ndarray, h: int, w: int) -> np.ndarray:
+    """align_corners=False bilinear resize of a (S, S) float raster."""
+    s_h, s_w = arr.shape
+    ys = (np.arange(h, dtype=np.float64) + 0.5) * (s_h / h) - 0.5
+    xs = (np.arange(w, dtype=np.float64) + 0.5) * (s_w / w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, s_h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, s_w - 1)
+    y1 = np.clip(y0 + 1, 0, s_h - 1)
+    x1 = np.clip(x0 + 1, 0, s_w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    a = arr[np.ix_(y0, x0)]
+    b = arr[np.ix_(y0, x1)]
+    c = arr[np.ix_(y1, x0)]
+    d = arr[np.ix_(y1, x1)]
+    return (
+        a * (1 - fy) * (1 - fx)
+        + b * (1 - fy) * fx
+        + c * fy * (1 - fx)
+        + d * fy * fx
+    )
+
+
+def _nearest_resize(arr: np.ndarray, h: int, w: int) -> np.ndarray:
+    s_h, s_w = arr.shape
+    ys = np.clip(((np.arange(h) + 0.5) * (s_h / h)).astype(np.int64), 0, s_h - 1)
+    xs = np.clip(((np.arange(w) + 0.5) * (s_w / w)).astype(np.int64), 0, s_w - 1)
+    return arr[np.ix_(ys, xs)]
+
+
+def resample_iuv_to_bbox(
+    labels: np.ndarray, u: np.ndarray, v: np.ndarray, box_xywh: Sequence[float]
+) -> np.ndarray:
+    """(S, S) head rasters -> (3, h, w) uint8 IUV in box coordinates.
+
+    Channel 0 = part index (0 = background, 1..24 = chart parts); channels
+    1/2 = U/V scaled to [0, 255], zeroed on background (reference
+    ``_output_to_result``, structures.py:555-595)."""
+    x, y, w, h = box_xywh
+    w = max(int(w), 1)
+    h = max(int(h), 1)
+    i_box = _nearest_resize(np.asarray(labels), h, w).astype(np.uint8)
+    u_box = _bilinear_resize(np.asarray(u, np.float64), h, w)
+    v_box = _bilinear_resize(np.asarray(v, np.float64), h, w)
+    out = np.zeros((3, h, w), np.uint8)
+    fg = i_box > 0
+    out[0] = i_box
+    out[1][fg] = np.clip(u_box[fg] * 255.0, 0, 255).astype(np.uint8)
+    out[2][fg] = np.clip(v_box[fg] * 255.0, 0, 255).astype(np.uint8)
+    return out
+
+
+class DensePoseResult:
+    """Per-image packed DensePose results (PNG-compressed IUV + boxes).
+
+    ``results[i]`` is ``(shape, base64_png)``; ``boxes_xywh[i]`` the
+    detection box — same access protocol as the reference class."""
+
+    def __init__(
+        self,
+        boxes_xywh: np.ndarray,
+        labels: Sequence[np.ndarray],
+        u: Sequence[np.ndarray],
+        v: Sequence[np.ndarray],
+    ):
+        boxes_xywh = np.asarray(boxes_xywh, np.float64).reshape(-1, 4)
+        self.boxes_xywh: List[List[float]] = boxes_xywh.tolist()
+        self.results: List[Tuple[tuple, str]] = []
+        for i, box in enumerate(boxes_xywh):
+            iuv = resample_iuv_to_bbox(labels[i], u[i], v[i], box)
+            self.results.append((iuv.shape, self.encode_png_data(iuv)))
+
+    @staticmethod
+    def encode_png_data(arr: np.ndarray) -> str:
+        """(3, M, N) uint8 -> base64 PNG (max compression), reference
+        ``encode_png_data`` (structures.py:597-618)."""
+        assert arr.ndim == 3 and arr.shape[0] == 3, arr.shape
+        assert arr.dtype == np.uint8, arr.dtype
+        from PIL import Image
+
+        im = Image.fromarray(np.moveaxis(arr, 0, -1))
+        f = BytesIO()
+        im.save(f, format="png", optimize=True)
+        return base64.encodebytes(f.getvalue()).decode()
+
+    @staticmethod
+    def decode_png_data(shape: tuple, s: str) -> np.ndarray:
+        """base64 PNG -> (3, M, N) uint8 (reference :620-629)."""
+        from PIL import Image
+
+        f = BytesIO(base64.decodebytes(s.encode()))
+        im = Image.open(f)
+        data = np.moveaxis(np.asarray(im, dtype=np.uint8), -1, 0)
+        return data.reshape(shape)
+
+    def __len__(self) -> int:
+        return len(self.results)
+
+    def __getitem__(self, item: int):
+        return self.results[item], self.boxes_xywh[item]
+
+    def __str__(self) -> str:
+        return "DensePoseResult: N={} [{}]".format(
+            len(self.results),
+            ", ".join(str(list(r[0])) for r in self.results),
+        )
+
+
+class DensePoseResultExtractor:
+    """Instances -> (DensePoseResult, boxes_xywh) for visualizers/dumps
+    (reference ``vis/extractor.py::DensePoseResultExtractor``)."""
+
+    def __call__(self, instances, select=None):
+        if not hasattr(instances, "dp_labels") or len(instances) == 0:
+            return None, None
+        boxes = np.asarray(instances.pred_boxes.tensor)
+        boxes_xywh = boxes.copy()
+        boxes_xywh[:, 2] -= boxes_xywh[:, 0]
+        boxes_xywh[:, 3] -= boxes_xywh[:, 1]
+        labels = [np.asarray(m) for m in instances.dp_labels]
+        u = [np.asarray(m) for m in instances.dp_u]
+        v = [np.asarray(m) for m in instances.dp_v]
+        if select is not None:
+            keep = np.nonzero(np.asarray(select))[0]
+            boxes_xywh = boxes_xywh[keep]
+            labels = [labels[i] for i in keep]
+            u = [u[i] for i in keep]
+            v = [v[i] for i in keep]
+        return DensePoseResult(boxes_xywh, labels, u, v), boxes_xywh
