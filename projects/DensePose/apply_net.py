@@ -22,7 +22,11 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+# running the script directly (not via an installed package): the repo root
+# two levels up carries detectron2_centernet_tpu
+sys.path.insert(0, os.path.dirname(os.path.dirname(_HERE)))
 
 from densepose_tpu import add_densepose_config  # noqa: E402
 from densepose_tpu.structures import DensePoseResultExtractor  # noqa: E402

@@ -14,12 +14,22 @@ Registered through the framework's ``ROI_HEAD_EXTENSION_REGISTRY``
     cfg.MODEL.ROI_HEADS.EXTENSIONS = ["DensePoseExtension"]
 """
 
+from .bootstrap import (
+    CombinedDataLoader,
+    DensePoseConfidenceBasedSampler,
+    DensePoseUniformSampler,
+    InferenceBasedLoader,
+    MaskFromDensePoseSampler,
+    ScoreBasedFilter,
+    VideoKeyframeDataset,
+)
 from .config import add_densepose_config
 from .data import DensePoseDatasetMapper, load_densepose_coco_json
 from .evaluator import DensePoseEvaluator
 from .hrnet import HRFPN, HRNet, build_hrfpn_backbone
 from .modeling import (
     DensePoseChartPredictor,
+    DensePoseDeepLabHead,
     DensePoseExtension,
     DensePoseHead,
 )
@@ -28,14 +38,22 @@ from .structures import DensePoseResult, DensePoseResultExtractor
 __all__ = [
     "add_densepose_config",
     "build_hrfpn_backbone",
+    "CombinedDataLoader",
     "DensePoseChartPredictor",
+    "DensePoseConfidenceBasedSampler",
     "DensePoseDatasetMapper",
+    "DensePoseDeepLabHead",
     "DensePoseEvaluator",
     "DensePoseExtension",
     "DensePoseHead",
     "DensePoseResult",
     "DensePoseResultExtractor",
+    "DensePoseUniformSampler",
     "HRFPN",
     "HRNet",
+    "InferenceBasedLoader",
     "load_densepose_coco_json",
+    "MaskFromDensePoseSampler",
+    "ScoreBasedFilter",
+    "VideoKeyframeDataset",
 ]

@@ -47,6 +47,133 @@ class DensePoseHead(nn.Module):
         return x
 
 
+def _gn_groups(channels: int, want: int = 32) -> int:
+    """Largest divisor of ``channels`` not above ``want`` (the reference
+    hardcodes 32 groups for its 512-wide heads; tiny test widths need a
+    divisor)."""
+    g = min(want, channels)
+    while channels % g:
+        g -= 1
+    return g
+
+
+class _ASPP(nn.Module):
+    """Atrous spatial pyramid pooling (reference deeplab.py:109-140, the
+    torchvision DeepLabV3 ASPP at rates 6/12/56): 1x1 branch + three dilated
+    3x3 branches + a global-pool branch, each GN+relu, concat, 1x1 project."""
+
+    out_channels: int
+    rates: Tuple[int, int, int] = (6, 12, 56)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        def gn_relu(h, name):
+            return nn.relu(
+                nn.GroupNorm(
+                    num_groups=_gn_groups(h.shape[-1]), epsilon=1e-5,
+                    dtype=self.dtype, name=name,
+                )(h)
+            )
+
+        # submodule names mirror the torch Sequential indices
+        # (ASPP.convs.{i}.{j}) so checkpoint import aligns deterministically
+        c = self.out_channels
+        branches = [
+            gn_relu(
+                nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="convs0_0")(x),
+                "convs0_1",
+            )
+        ]
+        for i, r in enumerate(self.rates):
+            h = nn.Conv(
+                c, (3, 3), kernel_dilation=(r, r), padding=[(r, r), (r, r)],
+                use_bias=False, dtype=self.dtype, name=f"convs{i + 1}_0",
+            )(x)
+            branches.append(gn_relu(h, f"convs{i + 1}_1"))
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        pooled = nn.Conv(
+            c, (1, 1), use_bias=False, dtype=self.dtype, name="convs4_1"
+        )(pooled)
+        pooled = gn_relu(pooled, "convs4_2")
+        # broadcast of a 1x1 global feature == bilinear upsample of a 1x1 map
+        branches.append(jnp.broadcast_to(pooled, x.shape[:3] + (c,)))
+        cat = jnp.concatenate(branches, axis=-1)
+        return nn.relu(
+            nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="project0")(cat)
+        )
+
+
+class _NonLocal2D(nn.Module):
+    """Embedded-gaussian non-local block (reference deeplab.py:146-263,
+    Wang et al. CVPR 2018): softmax(theta @ phi^T) @ g, projected by a
+    zero-initialised GN so the block starts as identity; phi/g sub-sampled
+    by a 2x2 max-pool."""
+
+    sub_sample: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n, h, w, c = x.shape
+        inter = max(c // 2, 1)
+        theta = nn.Conv(inter, (1, 1), dtype=self.dtype, name="theta")(x)
+        phi = nn.Conv(inter, (1, 1), dtype=self.dtype, name="phi")(x)
+        g = nn.Conv(inter, (1, 1), dtype=self.dtype, name="g")(x)
+        if self.sub_sample:
+            pool = lambda a: nn.max_pool(a, (2, 2), strides=(2, 2))
+            phi, g = pool(phi), pool(g)
+        q = theta.reshape(n, h * w, inter)
+        k = phi.reshape(n, -1, inter)
+        v = g.reshape(n, -1, inter)
+        attn = jax.nn.softmax(
+            jnp.einsum("nqc,nkc->nqk", q.astype(jnp.float32), k.astype(jnp.float32)),
+            axis=-1,
+        ).astype(v.dtype)
+        y = jnp.einsum("nqk,nkc->nqc", attn, v).reshape(n, h, w, inter)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="W_0")(y)
+        y = nn.GroupNorm(
+            num_groups=_gn_groups(c), epsilon=1e-5, dtype=self.dtype,
+            name="W_1", scale_init=nn.initializers.zeros,
+        )(y)
+        return x + y
+
+
+class DensePoseDeepLabHead(nn.Module):
+    """ASPP (+ optional non-local) front end, then N stacked GN convs
+    (reference ``roi_heads/deeplab.py:15-77``: ASPP keeps the input channel
+    width; the conv stack maps to ``hidden_dim``, bias-free when normed)."""
+
+    num_convs: int = 8
+    hidden_dim: int = 512
+    kernel: int = 3
+    norm: str = "GN"
+    use_nonlocal: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = _ASPP(out_channels=x.shape[-1], dtype=self.dtype, name="aspp")(x)
+        if self.use_nonlocal:
+            x = _NonLocal2D(dtype=self.dtype, name="nlblock")(x)
+        p = self.kernel // 2
+        for i in range(self.num_convs):
+            x = nn.Conv(
+                self.hidden_dim, (self.kernel, self.kernel),
+                padding=[(p, p), (p, p)], use_bias=not self.norm,
+                dtype=self.dtype, name=f"body_conv_fcn{i + 1}",
+            )(x)
+            if self.norm == "GN":
+                x = nn.GroupNorm(
+                    num_groups=_gn_groups(self.hidden_dim), epsilon=1e-5,
+                    dtype=self.dtype, name=f"body_conv_fcn{i + 1}_norm",
+                )(x)
+            x = nn.relu(x)
+        return x
+
+
 class DensePoseChartPredictor(nn.Module):
     """4x deconv (k4 s2) + 2x bilinear upscale per output
     (predictors/chart.py:12-96): coarse segm (K=2), fine segm I (C=25),
@@ -109,7 +236,11 @@ class DensePoseChartPredictor(nn.Module):
 
 
 class DensePoseModule(nn.Module):
-    """head + predictor, the unit registered as the ROI extension module."""
+    """head + predictor, the unit registered as the ROI extension module.
+
+    ``head_name`` selects the feature extractor by the reference's registry
+    key (``MODEL.ROI_DENSEPOSE_HEAD.NAME``): ``DensePoseV1ConvXHead`` (plain
+    conv stack) or ``DensePoseDeepLabHead`` (ASPP front end)."""
 
     num_convs: int = 8
     hidden_dim: int = 512
@@ -117,6 +248,9 @@ class DensePoseModule(nn.Module):
     num_patches: int = 24
     num_coarse: int = 2
     deconv_kernel: int = 4
+    head_name: str = "DensePoseV1ConvXHead"
+    deeplab_norm: str = "GN"
+    deeplab_nonlocal: bool = False
     uv_confidence_type: str = ""
     segm_confidence: bool = False
     confidence_eps: float = 0.01
@@ -124,10 +258,18 @@ class DensePoseModule(nn.Module):
 
     @nn.compact
     def __call__(self, pooled: jnp.ndarray, train: bool = False):
-        x = DensePoseHead(
-            num_convs=self.num_convs, hidden_dim=self.hidden_dim,
-            kernel=self.kernel, dtype=self.dtype, name="head",
-        )(pooled, train)
+        if self.head_name == "DensePoseDeepLabHead":
+            x = DensePoseDeepLabHead(
+                num_convs=self.num_convs, hidden_dim=self.hidden_dim,
+                kernel=self.kernel, norm=self.deeplab_norm,
+                use_nonlocal=self.deeplab_nonlocal, dtype=self.dtype,
+                name="head",
+            )(pooled, train)
+        else:
+            x = DensePoseHead(
+                num_convs=self.num_convs, hidden_dim=self.hidden_dim,
+                kernel=self.kernel, dtype=self.dtype, name="head",
+            )(pooled, train)
         return DensePoseChartPredictor(
             num_patches=self.num_patches, num_coarse=self.num_coarse,
             deconv_kernel=self.deconv_kernel,
@@ -177,6 +319,9 @@ class DensePoseExtension(ROIHeadExtension):
         self.hidden_dim = int(c.CONV_HEAD_DIM)
         self.kernel = int(c.CONV_HEAD_KERNEL)
         self.deconv_kernel = int(c.DECONV_KERNEL)
+        self.head_name = str(c.NAME)
+        self.deeplab_norm = str(c.DEEPLAB.NORM)
+        self.deeplab_nonlocal = bool(c.DEEPLAB.NONLOCAL_ON)
         self.w_points = float(c.POINT_REGRESSION_WEIGHTS)
         self.w_part = float(c.PART_WEIGHTS)
         self.w_segm = float(c.INDEX_WEIGHTS)
@@ -193,6 +338,8 @@ class DensePoseExtension(ROIHeadExtension):
             num_convs=self.num_convs, hidden_dim=self.hidden_dim,
             kernel=self.kernel, num_patches=self.num_patches,
             num_coarse=self.num_coarse, deconv_kernel=self.deconv_kernel,
+            head_name=self.head_name, deeplab_norm=self.deeplab_norm,
+            deeplab_nonlocal=self.deeplab_nonlocal,
             uv_confidence_type=self.uv_conf_type,
             segm_confidence=self.segm_conf,
             confidence_eps=self.segm_conf_eps,  # loss applies UV's own eps

@@ -227,3 +227,47 @@ def test_densepose_uv_confidence(conf_type):
     s2 = np.asarray(dets["dp_sigma_2"])
     kk = cfg.MODEL.ROI_DENSEPOSE_HEAD.MAX_DETECTIONS
     assert (s2[:, :kk] >= cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE.EPSILON - 1e-6).all()
+
+
+def test_densepose_deeplab_head():
+    """The _DL_ configs select DensePoseDeepLabHead (reference
+    roi_heads/deeplab.py:15-77): ASPP + GN conv stack (+ optional
+    non-local) replaces the plain V1ConvX stack; train + inference run
+    and the head's ASPP params exist."""
+    cfg = _cfg()
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.NAME = "DensePoseDeepLabHead"
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DEEPLAB.NONLOCAL_ON = 1
+    cfg.freeze()
+    m = build_model(cfg)
+    v = m.init(jax.random.PRNGKey(0), (64, 64))
+
+    def find(tree, frag, path=""):
+        hits = []
+        if isinstance(tree, dict):
+            for k2, v2 in tree.items():
+                hits += find(v2, frag, path + "/" + k2)
+        elif frag in path:
+            hits.append(path)
+        return hits
+
+    aspp = [p for p in find(v["params"], "aspp")]
+    assert aspp, "DeepLab head params missing"
+    assert find(v["params"], "nlblock"), "non-local block params missing"
+
+    total, (ld, _) = m.loss_fn(v["params"], v.get("batch_stats", {}), _dense_batch())
+    assert "loss_densepose_I" in ld
+    assert np.isfinite(float(total))
+    out = m.predict_fn(v, np.zeros((1, 64, 64, 3), np.float32))
+    assert "dp_labels" in out
+
+
+def test_densepose_nonlocal_identity_at_init():
+    """The non-local block's output projection GN is zero-initialised
+    (reference deeplab.py:199-200), so at init the block is the identity."""
+    from densepose_tpu.modeling import _NonLocal2D
+
+    blk = _NonLocal2D()
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 32), jnp.float32)
+    v = blk.init(jax.random.PRNGKey(0), x)
+    y = blk.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
