@@ -34,6 +34,12 @@ from .modeling import (
     DensePoseHead,
 )
 from .structures import DensePoseResult, DensePoseResultExtractor
+from .tta import (
+    DensePoseGeneralizedRCNNWithTTA,
+    DensePoseTTAPredictor,
+    MASK_LABEL_SYMMETRIES,
+    POINT_LABEL_SYMMETRIES,
+)
 
 __all__ = [
     "add_densepose_config",
@@ -48,6 +54,10 @@ __all__ = [
     "DensePoseHead",
     "DensePoseResult",
     "DensePoseResultExtractor",
+    "DensePoseGeneralizedRCNNWithTTA",
+    "DensePoseTTAPredictor",
+    "MASK_LABEL_SYMMETRIES",
+    "POINT_LABEL_SYMMETRIES",
     "DensePoseUniformSampler",
     "HRFPN",
     "HRNet",

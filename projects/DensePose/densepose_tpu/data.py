@@ -9,9 +9,12 @@ TPU redesign: each instance's ragged point list is packed into
 ``(MAX_DP_POINTS,)`` arrays with a validity mask, and the coarse
 segmentation raster becomes a fixed ``(SEGM_RASTER, SEGM_RASTER)`` fg/bg
 byte mask in gt-box coordinates (consumed by ``crop_gt_masks`` in the
-loss).  Known deviation: mirrored augmentation drops dense annotations on
-the flipped samples instead of applying the SMPL left/right symmetry
-tables (the symmetry .mat is external data the reference downloads).
+loss).  Mirrored samples follow the reference's hardcoded label-symmetry
+protocol (structures.py:13-16 + :194-208: x -> 256 - x, part-label swap,
+segm mirror); the within-part U/V symmetry lookup is external data the
+reference downloads (the .mat, structures.py:43-63), so mirrored samples
+keep part/segm supervision but mask out U/V point regression via
+``gt_dp_uv_valid`` — a documented deviation.
 """
 
 from typing import Dict, List, Optional
@@ -90,6 +93,7 @@ class DensePoseDatasetMapper(DatasetMapper):
         dp_u = np.zeros((cap, p), np.float32)
         dp_v = np.zeros((cap, p), np.float32)
         dp_valid = np.zeros((cap, p), np.float32)
+        dp_uv_valid = np.zeros((cap, p), np.float32)
         dp_segm = np.zeros((cap, self.dp_raster, self.dp_raster), np.uint8)
 
         # the parent mapper filtered/capped annos the same way: re-derive the
@@ -106,30 +110,93 @@ class DensePoseDatasetMapper(DatasetMapper):
         keep = (boxes[:, 2] - boxes[:, 0] > 1e-5) & (boxes[:, 3] - boxes[:, 1] > 1e-5)
         kept = [a for a, k in zip(annos, keep) if k][:cap]
 
+        from .tta import POINT_LABEL_SYMMETRIES
+
+        pt_sym = np.asarray(POINT_LABEL_SYMMETRIES, np.int32)
         for i, a in enumerate(kept):
             if "dp_x" not in a or a.get("dp_x") is None:
-                continue
-            if mirrored:
-                # deviation: SMPL l/r symmetry tables are external data; a
-                # mirrored sample simply drops its dense supervision
                 continue
             xs = np.asarray(a["dp_x"], np.float32)[:p]
             n_pts = len(xs)
             if n_pts == 0:
                 continue
-            dp_x[i, :n_pts] = xs
-            dp_y[i, :n_pts] = np.asarray(a["dp_y"], np.float32)[:p]
-            dp_i[i, :n_pts] = np.clip(
+            ids = np.clip(
                 np.asarray(a["dp_I"], np.float32)[:p].astype(np.int32), 0, 24
             )
+            if mirrored:
+                # reference flip protocol (structures.py:180-208): mirror x
+                # in the 256 gt-box frame and swap left/right part labels;
+                # U/V need the external .mat lookup, so they carry no loss
+                xs = 256.0 - xs
+                ids = pt_sym[ids]
+            dp_x[i, :n_pts] = xs
+            dp_y[i, :n_pts] = np.asarray(a["dp_y"], np.float32)[:p]
+            dp_i[i, :n_pts] = ids
             dp_u[i, :n_pts] = np.clip(np.asarray(a["dp_U"], np.float32)[:p], 0, 1)
             dp_v[i, :n_pts] = np.clip(np.asarray(a["dp_V"], np.float32)[:p], 0, 1)
             dp_valid[i, :n_pts] = 1.0
+            dp_uv_valid[i, :n_pts] = 0.0 if mirrored else 1.0
             if a.get("dp_masks") is not None:
-                dp_segm[i] = _dp_mask_to_fg(a["dp_masks"], self.dp_raster)
+                fg = _dp_mask_to_fg(a["dp_masks"], self.dp_raster)
+                dp_segm[i] = fg[:, ::-1] if mirrored else fg
 
         out.update(
             gt_dp_x=dp_x, gt_dp_y=dp_y, gt_dp_I=dp_i, gt_dp_U=dp_u,
-            gt_dp_V=dp_v, gt_dp_valid=dp_valid, gt_dp_segm=dp_segm,
+            gt_dp_V=dp_v, gt_dp_valid=dp_valid, gt_dp_uv_valid=dp_uv_valid,
+            gt_dp_segm=dp_segm,
         )
         return out
+
+
+# ---------------------------------------------------------------------------
+# Category retargeting (the "evolution" configs: animal categories retrained
+# onto the person chart; reference densepose/data/build.py:214-258)
+# ---------------------------------------------------------------------------
+
+def add_category_whitelists_to_metadata(cfg) -> None:
+    """DATASETS.WHITELISTED_CATEGORIES -> per-dataset metadata."""
+    for dataset_name, cat_ids in cfg.DATASETS.WHITELISTED_CATEGORIES.items():
+        MetadataCatalog.get(dataset_name).whitelisted_categories = list(cat_ids)
+
+
+def add_category_maps_to_metadata(cfg) -> None:
+    """DATASETS.CATEGORY_MAPS -> per-dataset metadata ({src: dst} ints)."""
+    for dataset_name, category_map in cfg.DATASETS.CATEGORY_MAPS.items():
+        MetadataCatalog.get(dataset_name).category_map = {
+            int(src): int(dst) for src, dst in dict(category_map).items()
+        }
+
+
+def filter_and_map_categories(dataset_name: str, dataset_dicts: list) -> list:
+    """Drop non-whitelisted annotations and remap category ids per the
+    dataset's metadata (reference _maybe_filter_and_map_categories)."""
+    meta = MetadataCatalog.get(dataset_name)
+    whitelisted = meta.get("whitelisted_categories")
+    category_map = meta.get("category_map", {}) or {}
+    if whitelisted is None and not category_map:
+        return dataset_dicts
+    out = []
+    for d in dataset_dicts:
+        anns = []
+        for ann in d.get("annotations", []):
+            cat_id = ann["category_id"]
+            if whitelisted is not None and cat_id not in whitelisted:
+                continue
+            ann["category_id"] = category_map.get(cat_id, cat_id)
+            anns.append(ann)
+        d["annotations"] = anns
+        out.append(d)
+    return out
+
+
+def combine_detection_dataset_dicts(dataset_names, cfg=None) -> list:
+    """Concatenate several datasets' dicts with per-dataset category
+    retargeting applied (reference combine_detection_dataset_dicts,
+    build.py:259-300)."""
+    if cfg is not None:
+        add_category_whitelists_to_metadata(cfg)
+        add_category_maps_to_metadata(cfg)
+    dicts = []
+    for name in dataset_names:
+        dicts.extend(filter_and_map_categories(name, DatasetCatalog.get(name)))
+    return dicts

@@ -394,6 +394,12 @@ class DensePoseExtension(ROIHeadExtension):
         inside = (gx >= 0) & (gx < hs) & (gy >= 0) & (gy < hs)
         fg = (flat["is_pos"] & (flat["weights"] > 0)).astype(jnp.float32)
         pt_w = dp_valid * inside.astype(jnp.float32) * fg[:, None]  # (R, P)
+        # mirrored samples carry part/segm supervision only (the chart-space
+        # U/V symmetry lookup is external data; data.py packs the mask)
+        if "gt_dp_uv_valid" in batch:
+            uv_w = pt_w * take("gt_dp_uv_valid").astype(jnp.float32)
+        else:
+            uv_w = pt_w
 
         sample = jax.vmap(bilinear_at)
         iuv_pts = sample(i_uv.astype(jnp.float32), gy, gx)  # (R, P, 25)
@@ -434,7 +440,7 @@ class DensePoseExtension(ROIHeadExtension):
                 nll = 0.5 * (
                     log2pi + jnp.log(denom2) + delta2 / sigma2 - dr * dr / denom2
                 )
-            uv_losses["loss_densepose_UV"] = (nll * pt_w).sum() * self.w_points
+            uv_losses["loss_densepose_UV"] = (nll * uv_w).sum() * self.w_points
         else:
 
             def smooth_l1(d):
@@ -442,10 +448,10 @@ class DensePoseExtension(ROIHeadExtension):
                 return jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5)
 
             uv_losses["loss_densepose_U"] = (
-                (smooth_l1(u_est - dp_u) * pt_w).sum() * self.w_points
+                (smooth_l1(u_est - dp_u) * uv_w).sum() * self.w_points
             )
             uv_losses["loss_densepose_V"] = (
-                (smooth_l1(v_est - dp_v) * pt_w).sum() * self.w_points
+                (smooth_l1(v_est - dp_v) * uv_w).sum() * self.w_points
             )
 
         # coarse segmentation CE against the gt fg raster resampled into the

@@ -114,3 +114,36 @@ def test_combined_loader_ratios():
     it = iter(combined)
     vals = [next(it) for _ in range(50)]
     assert set(vals) == {1, 2}
+
+
+def test_category_retargeting():
+    """The evolution configs' category remap: whitelist + map applied per
+    dataset (reference build.py:214-258)."""
+    from densepose_tpu.data import combine_detection_dataset_dicts
+
+    from detectron2_centernet_tpu.config import CfgNode as CN
+    from detectron2_centernet_tpu.data import DatasetCatalog, MetadataCatalog
+
+    name = "_retarget_test_ds"
+    if name in DatasetCatalog.list():
+        DatasetCatalog.remove(name)
+    DatasetCatalog.register(name, lambda: [
+        {"image_id": 0, "annotations": [
+            {"category_id": 16, "bbox": [0, 0, 1, 1]},   # dog -> person
+            {"category_id": 3, "bbox": [0, 0, 1, 1]},    # dropped
+        ]},
+    ])
+
+    cfg = CN()
+    cfg.DATASETS = CN()
+    cfg.DATASETS.CATEGORY_MAPS = CN(new_allowed=True)
+    cfg.DATASETS.CATEGORY_MAPS[name] = CN(new_allowed=True)
+    cfg.DATASETS.CATEGORY_MAPS[name]["16"] = 1
+    cfg.DATASETS.WHITELISTED_CATEGORIES = CN(new_allowed=True)
+    cfg.DATASETS.WHITELISTED_CATEGORIES[name] = [16]
+
+    dicts = combine_detection_dataset_dicts([name], cfg)
+    anns = dicts[0]["annotations"]
+    assert len(anns) == 1
+    assert anns[0]["category_id"] == 1
+    assert MetadataCatalog.get(name).category_map == {16: 1}
