@@ -369,12 +369,18 @@ class DefaultTrainer(SimpleTrainer):
         return results
 
     @classmethod
+    def build_tta_predictor(cls, cfg: CfgNode, model, variables):
+        """TTA predictor factory; projects override this to swap in their
+        own merge protocol (e.g. DensePose's chart-output voting)."""
+        from ..models.test_time_augmentation import TTAPredictor
+
+        return TTAPredictor(cfg, model, variables)
+
+    @classmethod
     def test_with_TTA(cls, cfg: CfgNode, trainer_or_model, evaluators=None) -> OrderedDict:
         """Multi-scale + flip evaluation (reference train_net.py:105-120 +
         GeneralizedRCNNWithTTA): runs the TTA predictor image-by-image over
         every cfg.DATASETS.TEST and feeds the standard evaluators."""
-        from ..models.test_time_augmentation import TTAPredictor
-
         if isinstance(trainer_or_model, DefaultTrainer):
             model = trainer_or_model.model
             variables = {
@@ -384,7 +390,7 @@ class DefaultTrainer(SimpleTrainer):
         else:
             model = trainer_or_model
             variables = model.variables
-        tta = TTAPredictor(cfg, model, variables)
+        tta = cls.build_tta_predictor(cfg, model, variables)
 
         from ..data import DatasetCatalog
         from ..data.detection_utils import read_image

@@ -34,6 +34,14 @@ class Trainer(DefaultTrainer):
             cfg, mapper=DensePoseDatasetMapper(cfg, is_train=True)
         )
 
+    @classmethod
+    def build_tta_predictor(cls, cfg, model, variables):
+        """Chart-output-voting TTA (reference densepose/engine/trainer.py:
+        Trainer.test_with_TTA builds DensePoseGeneralizedRCNNWithTTA)."""
+        from densepose_tpu import DensePoseTTAPredictor
+
+        return DensePoseTTAPredictor(cfg, model, variables)
+
 
 def setup(args):
     cfg = get_cfg()
@@ -51,7 +59,12 @@ def main(args):
     if args.eval_only:
         trainer = Trainer(cfg)
         trainer.resume_or_load(resume=args.resume)
-        return Trainer.test(cfg, trainer.state)
+        res = Trainer.test(cfg, trainer)
+        if cfg.TEST.AUG.ENABLED:
+            res.update(
+                {f"{k}_TTA": v for k, v in Trainer.test_with_TTA(cfg, trainer).items()}
+            )
+        return res
     trainer = Trainer(cfg)
     trainer.resume_or_load(resume=args.resume)
     return trainer.train()
