@@ -18,13 +18,21 @@ from .bootstrap import (
     CombinedDataLoader,
     DensePoseConfidenceBasedSampler,
     DensePoseUniformSampler,
+    FirstKFramesSelector,
+    FrameSelectionStrategy,
+    ImageListDataset,
+    ImageResizeTransform,
     InferenceBasedLoader,
+    LastKFramesSelector,
     MaskFromDensePoseSampler,
+    RandomKFramesSelector,
     ScoreBasedFilter,
     VideoKeyframeDataset,
+    build_frame_selector,
 )
 from .config import add_densepose_config
 from .data import DensePoseDatasetMapper, load_densepose_coco_json
+from .dbhelper import EntrySelector
 from .evaluator import DensePoseEvaluator
 from .hrnet import HRFPN, HRNet, build_hrfpn_backbone
 from .modeling import (
@@ -33,7 +41,11 @@ from .modeling import (
     DensePoseExtension,
     DensePoseHead,
 )
-from .structures import DensePoseResult, DensePoseResultExtractor
+from .structures import (
+    DensePoseDataRelative,
+    DensePoseResult,
+    DensePoseResultExtractor,
+)
 from .tta import (
     DensePoseGeneralizedRCNNWithTTA,
     DensePoseTTAPredictor,
@@ -48,10 +60,19 @@ __all__ = [
     "DensePoseChartPredictor",
     "DensePoseConfidenceBasedSampler",
     "DensePoseDatasetMapper",
+    "DensePoseDataRelative",
     "DensePoseDeepLabHead",
     "DensePoseEvaluator",
     "DensePoseExtension",
     "DensePoseHead",
+    "EntrySelector",
+    "FirstKFramesSelector",
+    "FrameSelectionStrategy",
+    "build_frame_selector",
+    "ImageListDataset",
+    "ImageResizeTransform",
+    "LastKFramesSelector",
+    "RandomKFramesSelector",
     "DensePoseResult",
     "DensePoseResultExtractor",
     "DensePoseGeneralizedRCNNWithTTA",

@@ -17,6 +17,7 @@ recompiles nothing.  The teacher runs through the same jitted
 """
 
 import random
+from enum import Enum
 from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -27,7 +28,14 @@ __all__ = [
     "DensePoseConfidenceBasedSampler",
     "MaskFromDensePoseSampler",
     "InferenceBasedLoader",
+    "FrameSelectionStrategy",
+    "build_frame_selector",
+    "RandomKFramesSelector",
+    "FirstKFramesSelector",
+    "LastKFramesSelector",
     "VideoKeyframeDataset",
+    "ImageResizeTransform",
+    "ImageListDataset",
     "CombinedDataLoader",
 ]
 
@@ -226,6 +234,118 @@ class InferenceBasedLoader:
             for k in dp:
                 batch[k] = np.stack(dp[k])
             yield batch
+
+
+class FrameSelectionStrategy(Enum):
+    """Video frame selection strategies (reference
+    video/frame_selector.py:13-27)."""
+
+    RANDOM_K = "random_k"
+    FIRST_K = "first_k"
+    LAST_K = "last_k"
+    ALL = "all"
+
+
+class RandomKFramesSelector:
+    """Keep at most k frames, drawn uniformly without replacement
+    (reference frame_selector.py:30-47)."""
+
+    def __init__(self, k: int):
+        self.k = k
+
+    def __call__(self, frame_tss: List[int]) -> List[int]:
+        return random.sample(frame_tss, min(self.k, len(frame_tss)))
+
+
+class FirstKFramesSelector:
+    """Keep at most the k first frames (reference frame_selector.py:50-65)."""
+
+    def __init__(self, k: int):
+        self.k = k
+
+    def __call__(self, frame_tss: List[int]) -> List[int]:
+        return frame_tss[: self.k]
+
+
+class LastKFramesSelector:
+    """Keep at most the k last frames (reference frame_selector.py:68-84)."""
+
+    def __init__(self, k: int):
+        self.k = k
+
+    def __call__(self, frame_tss: List[int]) -> List[int]:
+        return frame_tss[-self.k :]
+
+
+def build_frame_selector(strategy: FrameSelectionStrategy, k: int = 16):
+    """Strategy enum -> selector callable (reference data/build.py's
+    ``build_frame_selector``)."""
+    return {
+        FrameSelectionStrategy.RANDOM_K: lambda: RandomKFramesSelector(k),
+        FrameSelectionStrategy.FIRST_K: lambda: FirstKFramesSelector(k),
+        FrameSelectionStrategy.LAST_K: lambda: LastKFramesSelector(k),
+        FrameSelectionStrategy.ALL: lambda: (lambda tss: tss),
+    }[strategy]()
+
+
+class ImageResizeTransform:
+    """Frames (N, H, W, 3) RGB uint8 -> model-ready float32, aspect-
+    preserving resize to respect (min_size, max_size) (reference
+    data/transform/image.py).
+
+    TPU deviation (documented): output stays NHWC + RGB — this framework's
+    models consume NHWC and the mapper handles channel order — where the
+    reference emits NCHW BGR for its torch models."""
+
+    def __init__(self, min_size: int = 800, max_size: int = 1333):
+        self.min_size = min_size
+        self.max_size = max_size
+
+    def __call__(self, frames: np.ndarray) -> np.ndarray:
+        import cv2
+
+        frames = np.asarray(frames)
+        h, w = frames.shape[1:3]
+        scale = min(self.min_size / min(h, w), self.max_size / max(h, w))
+        new_w, new_h = int(w * scale), int(h * scale)
+        out = np.empty((frames.shape[0], new_h, new_w, 3), np.float32)
+        for i, frame in enumerate(frames):
+            out[i] = cv2.resize(
+                frame.astype(np.float32), (new_w, new_h),
+                interpolation=cv2.INTER_LINEAR,
+            )
+        return out
+
+
+class ImageListDataset:
+    """Images from a list of file paths; unreadable files yield the empty
+    sentinel instead of raising (reference data/image_list_dataset.py)."""
+
+    _EMPTY_IMAGE = np.empty((1, 1, 3), np.float32)
+
+    def __init__(self, image_list: List[str], transform=None):
+        self.image_list = list(image_list)
+        self.transform = transform
+
+    def __len__(self) -> int:
+        return len(self.image_list)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        from detectron2_centernet_tpu.data.detection_utils import read_image
+
+        fpath = self.image_list[idx]
+        try:
+            image = read_image(fpath, format="RGB")
+            if self.transform is not None:
+                image = self.transform(image[None])[0]  # transforms take batches
+            return image
+        except (OSError, RuntimeError) as e:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Error opening image file container %s: %s", fpath, e
+            )
+        return self._EMPTY_IMAGE
 
 
 class VideoKeyframeDataset:

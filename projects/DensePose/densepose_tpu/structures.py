@@ -23,10 +23,94 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 __all__ = [
+    "DensePoseDataRelative",
     "DensePoseResult",
     "DensePoseResultExtractor",
     "resample_iuv_to_bbox",
 ]
+
+
+class DensePoseDataRelative:
+    """Host-side container for one instance's dense-pose GT annotation
+    (reference ``densepose/data/structures.py::DensePoseDataRelative``
+    :68-230): annotated points in 256-normalized gt-box coordinates
+    (``x``/``y`` in [0, 255]), their part labels ``i`` (1..24) and chart
+    coordinates ``u``/``v`` in [0, 1], plus the 256x256 coarse
+    segmentation raster ``segm`` with values 0..14 decoded from the
+    14 per-part RLEs.
+
+    numpy arrays instead of torch tensors — this object only feeds
+    host-side tooling (``query_db`` visualization, dataset inspection);
+    the jitted training path consumes the fixed-shape packing produced by
+    ``DensePoseDatasetMapper`` instead.
+    """
+
+    X_KEY = "dp_x"
+    Y_KEY = "dp_y"
+    U_KEY = "dp_U"
+    V_KEY = "dp_V"
+    I_KEY = "dp_I"
+    S_KEY = "dp_masks"
+    N_BODY_PARTS = 14
+    N_PART_LABELS = 24
+    MASK_SIZE = 256
+
+    def __init__(self, annotation: dict, cleanup: bool = False):
+        is_valid, reason = self.validate_annotation(annotation)
+        assert is_valid, f"Invalid DensePose annotations: {reason}"
+        self.x = np.asarray(annotation[self.X_KEY], np.float32)
+        self.y = np.asarray(annotation[self.Y_KEY], np.float32)
+        self.i = np.asarray(annotation[self.I_KEY], np.float32)
+        self.u = np.asarray(annotation[self.U_KEY], np.float32)
+        self.v = np.asarray(annotation[self.V_KEY], np.float32)
+        self.segm = self.extract_segmentation_mask(annotation)
+        if cleanup:
+            self.cleanup_annotation(annotation)
+
+    @classmethod
+    def extract_segmentation_mask(cls, annotation: dict) -> np.ndarray:
+        """14 per-part RLE specs -> (256, 256) float raster, part id i+1
+        painted over zeros in list order (reference :128-143)."""
+        from detectron2_centernet_tpu.structures.rle import rle_to_mask
+
+        poly_specs = annotation[cls.S_KEY]
+        if isinstance(poly_specs, np.ndarray):
+            return poly_specs
+        segm = np.zeros((cls.MASK_SIZE, cls.MASK_SIZE), np.float32)
+        for part_id in range(cls.N_BODY_PARTS):
+            spec = poly_specs[part_id] if part_id < len(poly_specs) else None
+            if spec:
+                segm[rle_to_mask(spec) > 0] = part_id + 1
+        return segm
+
+    @classmethod
+    def validate_annotation(cls, annotation: dict):
+        for key in (cls.X_KEY, cls.Y_KEY, cls.I_KEY, cls.U_KEY, cls.V_KEY,
+                    cls.S_KEY):
+            if key not in annotation:
+                return False, f"no {key} data in the annotation"
+        return True, None
+
+    @classmethod
+    def cleanup_annotation(cls, annotation: dict) -> None:
+        for key in (cls.X_KEY, cls.Y_KEY, cls.I_KEY, cls.U_KEY, cls.V_KEY,
+                    cls.S_KEY):
+            annotation.pop(key, None)
+
+    def apply_hflip(self) -> None:
+        """Mirror the annotation in the gt-box frame (reference
+        ``_transform_pts``/``_transform_segm`` :173-230): x -> 256 - x,
+        left/right point-label swap, segm mirror + mask-label swap.  The
+        within-part U/V chart symmetry requires the reference's external
+        .mat lookup (structures.py:43-63), so u/v VALUES are left in the
+        mirrored chart — same documented deviation as the TTA merge."""
+        from .tta import MASK_LABEL_SYMMETRIES, POINT_LABEL_SYMMETRIES
+
+        self.x = self.MASK_SIZE - self.x
+        pt_sym = np.asarray(POINT_LABEL_SYMMETRIES, np.float32)
+        self.i = pt_sym[self.i.astype(np.int64)]
+        mask_sym = np.asarray(MASK_LABEL_SYMMETRIES, np.float32)
+        self.segm = mask_sym[self.segm[:, ::-1].astype(np.int64)]
 
 
 def _bilinear_resize(arr: np.ndarray, h: int, w: int) -> np.ndarray:

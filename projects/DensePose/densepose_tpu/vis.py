@@ -21,6 +21,7 @@ from .structures import DensePoseResult, DensePoseResultExtractor
 
 __all__ = [
     "MatrixVisualizer",
+    "PointsVisualizer",
     "BoundingBoxVisualizer",
     "ScoredBoundingBoxVisualizer",
     "CompoundVisualizer",
@@ -28,6 +29,11 @@ __all__ = [
     "DensePoseResultsUVisualizer",
     "DensePoseResultsVVisualizer",
     "DensePoseResultsContourVisualizer",
+    "DensePoseDataCoarseSegmentationVisualizer",
+    "DensePoseDataPointsVisualizer",
+    "DensePoseDataPointsIVisualizer",
+    "DensePoseDataPointsUVisualizer",
+    "DensePoseDataPointsVVisualizer",
     "create_extractor",
 ]
 
@@ -228,6 +234,111 @@ class DensePoseResultsContourVisualizer(_DensePoseResultsVisualizer):
             edges = cv2.morphologyEx(bands, cv2.MORPH_GRADIENT, kernel) > 0
             region[(segm > 0) & edges] = self.color
         return image_bgr
+
+
+class PointsVisualizer:
+    """Filled circles at given image points, optionally per-point colors
+    (reference vis/base.py PointsVisualizer)."""
+
+    def __init__(self, color=(0, 255, 0), r=5):
+        self.color = color
+        self.r = r
+
+    def visualize(self, image_bgr, pts_xy, colors_bgr=None):
+        import cv2
+
+        for j, (x, y) in enumerate(pts_xy):
+            color = self.color if colors_bgr is None else tuple(colors_bgr[j])
+            cv2.circle(image_bgr, (int(x), int(y)), self.r, color, -1)
+        return image_bgr
+
+
+class DensePoseDataCoarseSegmentationVisualizer:
+    """GT coarse segmentation (14 body parts) overlay: the 256x256 segm
+    raster of each ``DensePoseDataRelative`` is stretched over its gt box
+    (reference densepose.py:498-524).  Data = (boxes_xywh, dp_datas)."""
+
+    def __init__(self, inplace=True, alpha=0.7):
+        from .structures import DensePoseDataRelative
+
+        self.mask_visualizer = MatrixVisualizer(
+            inplace=inplace,
+            alpha=alpha,
+            val_scale=255.0 / DensePoseDataRelative.N_BODY_PARTS,
+        )
+
+    def visualize(self, image_bgr, bbox_densepose_datas):
+        import cv2
+
+        if bbox_densepose_datas is None:
+            return image_bgr
+        for bbox_xywh, dp in zip(*bbox_densepose_datas):
+            x, y, w, h = (max(int(round(float(t))), 1) for t in bbox_xywh)
+            matrix = cv2.resize(dp.segm, (w, h), interpolation=cv2.INTER_NEAREST)
+            image_bgr = self.mask_visualizer.visualize(
+                image_bgr, matrix > 0, matrix, (x, y, w, h)
+            )
+        return image_bgr
+
+
+class DensePoseDataPointsVisualizer:
+    """GT annotated points: 256-normalized gt-box coordinates mapped into
+    the image (x_img = x0 + x*w/256, reference densepose.py:526-555),
+    optionally colormapped by a per-point value function."""
+
+    def __init__(self, densepose_data_to_value_fn=None):
+        self.points_visualizer = PointsVisualizer()
+        self.densepose_data_to_value_fn = densepose_data_to_value_fn
+
+    def visualize(self, image_bgr, bbox_densepose_datas):
+        if bbox_densepose_datas is None:
+            return image_bgr
+        for bbox_xywh, dp in zip(*bbox_densepose_datas):
+            x0, y0, w, h = (float(t) for t in np.asarray(bbox_xywh).ravel())
+            xs = dp.x * w / 255.0 + x0
+            ys = dp.y * h / 255.0 + y0
+            if self.densepose_data_to_value_fn is None:
+                colors = None
+            else:
+                vals = self.densepose_data_to_value_fn(dp)
+                colors = [
+                    [int(c) for c in row.ravel()]
+                    for row in _colormap(vals[:, None])
+                ]
+            image_bgr = self.points_visualizer.visualize(
+                image_bgr, zip(xs, ys), colors
+            )
+        return image_bgr
+
+
+def _dp_u_for_cmap(dp):
+    return (np.clip(dp.u, 0, 1) * 255.0).astype(np.uint8)
+
+
+def _dp_v_for_cmap(dp):
+    return (np.clip(dp.v, 0, 1) * 255.0).astype(np.uint8)
+
+
+def _dp_i_for_cmap(dp):
+    from .structures import DensePoseDataRelative
+
+    n = DensePoseDataRelative.N_PART_LABELS
+    return (np.clip(dp.i, 0.0, n) * 255.0 / n).astype(np.uint8)
+
+
+class DensePoseDataPointsUVisualizer(DensePoseDataPointsVisualizer):
+    def __init__(self):
+        super().__init__(densepose_data_to_value_fn=_dp_u_for_cmap)
+
+
+class DensePoseDataPointsVVisualizer(DensePoseDataPointsVisualizer):
+    def __init__(self):
+        super().__init__(densepose_data_to_value_fn=_dp_v_for_cmap)
+
+
+class DensePoseDataPointsIVisualizer(DensePoseDataPointsVisualizer):
+    def __init__(self):
+        super().__init__(densepose_data_to_value_fn=_dp_i_for_cmap)
 
 
 def create_extractor(visualizer):
