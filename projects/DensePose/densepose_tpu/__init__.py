@@ -31,7 +31,12 @@ from .bootstrap import (
     build_frame_selector,
 )
 from .config import add_densepose_config
-from .data import DensePoseDatasetMapper, load_densepose_coco_json
+from .data import (
+    DensePoseDatasetMapper,
+    load_densepose_coco_json,
+    load_for_dataset,
+    load_from_cfg,
+)
 from .dbhelper import EntrySelector
 from .evaluator import DensePoseEvaluator
 from .hrnet import HRFPN, HRNet, build_hrfpn_backbone
@@ -45,6 +50,7 @@ from .structures import (
     DensePoseDataRelative,
     DensePoseResult,
     DensePoseResultExtractor,
+    DensePoseTransformData,
 )
 from .tta import (
     DensePoseGeneralizedRCNNWithTTA,
@@ -75,6 +81,9 @@ __all__ = [
     "RandomKFramesSelector",
     "DensePoseResult",
     "DensePoseResultExtractor",
+    "DensePoseTransformData",
+    "load_for_dataset",
+    "load_from_cfg",
     "DensePoseGeneralizedRCNNWithTTA",
     "DensePoseTTAPredictor",
     "MASK_LABEL_SYMMETRIES",

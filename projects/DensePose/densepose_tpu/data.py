@@ -17,6 +17,7 @@ keep part/segm supervision but mask out U/V point regression via
 ``gt_dp_uv_valid`` — a documented deviation.
 """
 
+import os
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -74,6 +75,12 @@ class DensePoseDatasetMapper(DatasetMapper):
         c = cfg.MODEL.ROI_DENSEPOSE_HEAD
         self.dp_points = int(c.MAX_DP_POINTS)
         self.dp_raster = int(c.SEGM_RASTER)
+        # UV chart-symmetry lookup for mirrored samples (None -> mirrored
+        # points carry no U/V loss, the label-only protocol)
+        self.dp_transform_data = (
+            load_for_dataset(cfg.DATASETS.TRAIN[0])
+            if is_train and cfg.DATASETS.TRAIN else None
+        )
 
     def __call__(self, dataset_dict: dict, rng=None) -> Dict[str, np.ndarray]:
         annos = [
@@ -123,19 +130,28 @@ class DensePoseDatasetMapper(DatasetMapper):
             ids = np.clip(
                 np.asarray(a["dp_I"], np.float32)[:p].astype(np.int32), 0, 24
             )
+            us = np.clip(np.asarray(a["dp_U"], np.float32)[:p], 0, 1)
+            vs = np.clip(np.asarray(a["dp_V"], np.float32)[:p], 0, 1)
+            uv_ok = 1.0
             if mirrored:
                 # reference flip protocol (structures.py:180-208): mirror x
-                # in the 256 gt-box frame and swap left/right part labels;
-                # U/V need the external .mat lookup, so they carry no loss
+                # in the 256 gt-box frame, remap U/V through the chart
+                # symmetry (indexed by the PRE-swap label), then swap
+                # left/right part labels.  Without the external .mat the
+                # U/V lookup is unavailable and they carry no loss.
                 xs = 256.0 - xs
+                if self.dp_transform_data is not None:
+                    us, vs = self.dp_transform_data.apply_uv(ids, us, vs)
+                else:
+                    uv_ok = 0.0
                 ids = pt_sym[ids]
             dp_x[i, :n_pts] = xs
             dp_y[i, :n_pts] = np.asarray(a["dp_y"], np.float32)[:p]
             dp_i[i, :n_pts] = ids
-            dp_u[i, :n_pts] = np.clip(np.asarray(a["dp_U"], np.float32)[:p], 0, 1)
-            dp_v[i, :n_pts] = np.clip(np.asarray(a["dp_V"], np.float32)[:p], 0, 1)
+            dp_u[i, :n_pts] = us
+            dp_v[i, :n_pts] = vs
             dp_valid[i, :n_pts] = 1.0
-            dp_uv_valid[i, :n_pts] = 0.0 if mirrored else 1.0
+            dp_uv_valid[i, :n_pts] = uv_ok
             if a.get("dp_masks") is not None:
                 fg = _dp_mask_to_fg(a["dp_masks"], self.dp_raster)
                 dp_segm[i] = fg[:, ::-1] if mirrored else fg
@@ -152,6 +168,28 @@ class DensePoseDatasetMapper(DatasetMapper):
 # Category retargeting (the "evolution" configs: animal categories retrained
 # onto the person chart; reference densepose/data/build.py:214-258)
 # ---------------------------------------------------------------------------
+
+def load_for_dataset(dataset_name: str):
+    """Load the dataset's UV-symmetry transform data, or None.
+
+    Reference ``densepose/utils/transform.py::load_for_dataset`` reads the
+    ``densepose_transform_src`` metadata path (the external
+    ``UV_symmetry_transforms.mat``).  Returns None when the metadata or the
+    file is absent so flip paths degrade to the label-only protocol."""
+    from .structures import DensePoseTransformData
+
+    path = getattr(MetadataCatalog.get(dataset_name),
+                   "densepose_transform_src", None)
+    if not path or not os.path.exists(path):
+        return None
+    return DensePoseTransformData.load(path)
+
+
+def load_from_cfg(cfg):
+    """Transform data for the first TEST dataset (reference
+    utils/transform.py::load_from_cfg)."""
+    return load_for_dataset(cfg.DATASETS.TEST[0]) if cfg.DATASETS.TEST else None
+
 
 def add_category_whitelists_to_metadata(cfg) -> None:
     """DATASETS.WHITELISTED_CATEGORIES -> per-dataset metadata."""

@@ -24,10 +24,77 @@ import numpy as np
 
 __all__ = [
     "DensePoseDataRelative",
+    "DensePoseTransformData",
     "DensePoseResult",
     "DensePoseResultExtractor",
+    "MASK_LABEL_SYMMETRIES",
+    "POINT_LABEL_SYMMETRIES",
     "resample_iuv_to_bbox",
 ]
+
+# Horizontal-flip label symmetries, hardcoded in the reference
+# (data/structures.py:13-16) — NOT part of the external UV-transform .mat.
+MASK_LABEL_SYMMETRIES = [0, 1, 3, 2, 5, 4, 7, 6, 9, 8, 11, 10, 13, 12, 14]
+POINT_LABEL_SYMMETRIES = [
+    0, 1, 2, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15, 18, 17,
+    20, 19, 22, 21, 24, 23,
+]
+
+
+class DensePoseTransformData:
+    """Horizontal-flip transform data: the hardcoded label symmetries plus
+    the within-part U/V chart symmetry lookup tables (reference
+    ``data/structures.py::DensePoseTransformData`` :11-64, loaded from the
+    external ``UV_symmetry_transforms.mat``).
+
+    ``uv_symmetries`` maps ``"U_transforms"``/``"V_transforms"`` to
+    ``(24, 256, 256)`` float arrays: for a point in part ``i`` (1..24) at
+    chart coordinates (u, v), the flipped chart coordinates are
+    ``T[i-1][int(v*255), int(u*255)]``.
+    """
+
+    MASK_LABEL_SYMMETRIES = MASK_LABEL_SYMMETRIES
+    POINT_LABEL_SYMMETRIES = POINT_LABEL_SYMMETRIES
+
+    def __init__(self, uv_symmetries: dict):
+        self.mask_label_symmetries = self.MASK_LABEL_SYMMETRIES
+        self.point_label_symmetries = self.POINT_LABEL_SYMMETRIES
+        self.uv_symmetries = {
+            key: np.asarray(val, np.float32) for key, val in uv_symmetries.items()
+        }
+
+    @staticmethod
+    def load(io) -> "DensePoseTransformData":
+        """Load from the reference's .mat layout: each key holds a
+        (1, 24) object array of (256, 256) tables (reference :43-64)."""
+        import scipy.io
+
+        raw = scipy.io.loadmat(io)
+        uv_symmetries = {}
+        for key in ("U_transforms", "V_transforms"):
+            src = raw[key]
+            uv_symmetries[key] = np.stack(
+                [np.asarray(src[0, i], np.float32) for i in range(src.shape[1])]
+            )
+        return DensePoseTransformData(uv_symmetries)
+
+    def apply_uv(self, i_old: np.ndarray, u: np.ndarray, v: np.ndarray):
+        """Remap chart (u, v) through the per-part symmetry tables.
+
+        ``i_old`` are the PRE-swap part labels — the reference indexes the
+        tables by the original label (structures.py:194-208).  Background
+        (label 0) passes through unchanged."""
+        i_old = np.asarray(i_old)
+        u_loc = np.clip((np.asarray(u) * 255.0), 0, 255).astype(np.int64)
+        v_loc = np.clip((np.asarray(v) * 255.0), 0, 255).astype(np.int64)
+        part = np.clip(i_old.astype(np.int64) - 1, 0, 23)
+        u_new = self.uv_symmetries["U_transforms"][part, v_loc, u_loc]
+        v_new = self.uv_symmetries["V_transforms"][part, v_loc, u_loc]
+        fg = i_old > 0
+        return (
+            np.where(fg, u_new, u).astype(np.float32),
+            np.where(fg, v_new, v).astype(np.float32),
+        )
 
 
 class DensePoseDataRelative:
@@ -97,16 +164,16 @@ class DensePoseDataRelative:
                     cls.S_KEY):
             annotation.pop(key, None)
 
-    def apply_hflip(self) -> None:
+    def apply_hflip(self, transform_data: "DensePoseTransformData" = None) -> None:
         """Mirror the annotation in the gt-box frame (reference
         ``_transform_pts``/``_transform_segm`` :173-230): x -> 256 - x,
-        left/right point-label swap, segm mirror + mask-label swap.  The
-        within-part U/V chart symmetry requires the reference's external
-        .mat lookup (structures.py:43-63), so u/v VALUES are left in the
-        mirrored chart — same documented deviation as the TTA merge."""
-        from .tta import MASK_LABEL_SYMMETRIES, POINT_LABEL_SYMMETRIES
-
+        left/right point-label swap, segm mirror + mask-label swap.  When
+        ``transform_data`` (the external .mat lookup) is given, u/v are
+        remapped through the within-part chart symmetry as well; without
+        it they stay in the mirrored chart — a documented deviation."""
         self.x = self.MASK_SIZE - self.x
+        if transform_data is not None:
+            self.u, self.v = transform_data.apply_uv(self.i, self.u, self.v)
         pt_sym = np.asarray(POINT_LABEL_SYMMETRIES, np.float32)
         self.i = pt_sym[self.i.astype(np.int64)]
         mask_sym = np.asarray(MASK_LABEL_SYMMETRIES, np.float32)

@@ -28,13 +28,11 @@ import numpy as np
 from detectron2_centernet_tpu.models.test_time_augmentation import numpy_nms
 from detectron2_centernet_tpu.structures import Boxes, Instances
 
-# Hardcoded in the reference (data/structures.py:13-16) — NOT part of the
-# external UV-transform .mat.
-MASK_LABEL_SYMMETRIES = [0, 1, 3, 2, 5, 4, 7, 6, 9, 8, 11, 10, 13, 12, 14]
-POINT_LABEL_SYMMETRIES = [
-    0, 1, 2, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15, 18, 17,
-    20, 19, 22, 21, 24, 23,
-]
+from .data import load_for_dataset
+from .structures import (  # noqa: F401  (re-exported reference names)
+    MASK_LABEL_SYMMETRIES,
+    POINT_LABEL_SYMMETRIES,
+)
 
 __all__ = [
     "DensePoseTTAPredictor",
@@ -47,14 +45,20 @@ __all__ = [
 _PT_SYM = np.asarray(POINT_LABEL_SYMMETRIES, np.uint8)
 
 
-def flip_iuv_raster(labels: np.ndarray, u: np.ndarray, v: np.ndarray):
+def flip_iuv_raster(labels: np.ndarray, u: np.ndarray, v: np.ndarray,
+                    transform_data=None):
     """Un-mirror a box-frame IUV raster predicted on an h-flipped image:
-    mirror spatially + swap left/right part labels.  U/V are mirrored
-    spatially but their values stay in the flipped chart (the chart-space
-    symmetry lookup needs the external .mat) — callers must treat them as
-    label-vote-only."""
-    labels = _PT_SYM[labels[..., ::-1]]
-    return labels, u[..., ::-1], v[..., ::-1]
+    mirror spatially + swap left/right part labels.  With
+    ``transform_data`` (``DensePoseTransformData``, the external .mat
+    chart-symmetry lookup) U/V values are remapped into the unflipped
+    chart; without it they are only mirrored spatially and stay in the
+    flipped chart — callers must treat them as label-vote-only."""
+    labels_old = labels[..., ::-1]  # spatially un-mirrored, pre-swap labels
+    u = u[..., ::-1]
+    v = v[..., ::-1]
+    if transform_data is not None:
+        u, v = transform_data.apply_uv(labels_old, u, v)
+    return _PT_SYM[labels_old], u, v
 
 
 class DensePoseTTAPredictor:
@@ -70,8 +74,14 @@ class DensePoseTTAPredictor:
         nms_thresh: float = 0.5,
         match_iou: float = 0.5,
         max_detections: Optional[int] = None,
+        transform_data=None,
     ) -> None:
         import jax
+
+        if transform_data is None:
+            transform_data = load_for_dataset(cfg.DATASETS.TEST[0]) \
+                if len(cfg.DATASETS.TEST) else None
+        self.transform_data = transform_data
 
         if tuple(getattr(cfg.TEST.AUG, "ROTATION_ANGLES", ()) or ()):
             raise NotImplementedError(
@@ -110,14 +120,17 @@ class DensePoseTTAPredictor:
             if flipped:
                 # postprocess un-mapped the box corners; the raster content
                 # is still mirrored and left/right-swapped
-                lab, uu, vv = flip_iuv_raster(lab, uu, vv)
+                lab, uu, vv = flip_iuv_raster(lab, uu, vv, self.transform_data)
             boxes_l.append(np.asarray(out.pred_boxes.tensor))
             scores_l.append(np.asarray(out.scores))
             classes_l.append(np.asarray(out.pred_classes))
             labels_l.append(lab)
             u_l.append(uu)
             v_l.append(vv)
-            uv_ok_l.append(np.full(len(out), not flipped, bool))
+            uv_ok_l.append(
+                np.full(len(out), not flipped or self.transform_data is not None,
+                        bool)
+            )
 
         boxes = np.concatenate(boxes_l) if boxes_l else np.zeros((0, 4), np.float32)
         scores = np.concatenate(scores_l) if scores_l else np.zeros(0, np.float32)
