@@ -317,21 +317,27 @@ def align_state_dicts(
             # are the primary score; literal indices only break ties.
             suf = _suffix_len(fseq, tseq_rn)
             suf_raw = _suffix_len(fseq, tseq)
-            overlap = len(set(fseq) & set(tseq))
-            if suf == 0 and suf_raw == 0 and overlap == 0:
+            # overlap on the RENUMBERED tokens: flax names use dense indices,
+            # so a raw Sequential index ("subnet.4" = structural layer 2)
+            # sharing a digit with the wrong flax leaf must not outrank the
+            # structurally-correct pairing (caught by SemSegFPNHead towers,
+            # whose GN leaves tie at suffix 1 and are decided by overlap)
+            overlap = len(set(fseq) & set(tseq_rn))
+            overlap_raw = len(set(fseq) & set(tseq))
+            if suf == 0 and suf_raw == 0 and max(overlap, overlap_raw) == 0:
                 # no name similarity at all: shape + position alone must not
                 # wire unrelated tensors together (the reference
                 # align_and_update_state_dicts leaves these unmatched and
                 # warns; the warning happens in the unmatched loop below)
                 continue
             pos = abs(fi / max(len(fl), 1) - ti / max(len(torch_items), 1))
-            pairs.append((-suf, -suf_raw, -overlap, pos, fi, ti))
+            pairs.append((-suf, -suf_raw, -overlap, -overlap_raw, pos, fi, ti))
     pairs.sort()
 
     used_t = [False] * len(torch_items)
     used_f = [False] * len(fl)
     table = []
-    for nsuf, _, _, _, fi, ti in pairs:
+    for nsuf, _, _, _, _, fi, ti in pairs:
         if used_f[fi] or used_t[ti]:
             continue
         used_f[fi] = used_t[ti] = True

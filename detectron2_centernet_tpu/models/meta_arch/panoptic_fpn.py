@@ -70,7 +70,12 @@ class PanopticFPN(GeneralizedRCNN):
         sem_params = params["sem_seg_head"]
         main_params = {k: v for k, v in params.items() if k != "sem_seg_head"}
         total, (losses, new_stats) = super().loss_fn(main_params, batch_stats, batch)
-        losses = {k: v * self.instance_loss_weight for k, v in losses.items()}
+        # only the ROI-head detector losses are scaled; RPN proposal losses
+        # pass through unweighted (reference panoptic_fpn.py:105-107)
+        losses = {
+            k: v if k.startswith("loss_rpn") else v * self.instance_loss_weight
+            for k, v in losses.items()
+        }
 
         variables = {"params": main_params}
         if batch_stats:
