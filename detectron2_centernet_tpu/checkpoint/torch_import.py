@@ -122,6 +122,24 @@ def _flatten_boundary_channels(torch_sd: Dict[str, np.ndarray]) -> Dict[str, int
             is_deconv = "deconv" in k or owner.startswith("up")
             couts.append(v.shape[1] if is_deconv else v.shape[0])
         last_w_ndim = v.ndim
+    # Propagate to numeric siblings: cascade heads repeat the same
+    # pool->flatten->fc tower per stage (roi_heads.box_head.{0,1,2}.fc1),
+    # but only stage 0's fc1 follows a 4-D weight in state-dict order —
+    # stage 1+ follow the previous stage's 2-D predictor. A same-shaped key
+    # that differs from a flagged boundary key only in numeric segments
+    # consumes the same pooled feature and needs the same permute.
+    import re
+
+    def depattern(key: str) -> str:
+        return re.sub(r"(^|\.)\d+(\.|$)", r"\1#\2", key)
+
+    flagged = {depattern(k): (c, torch_sd[k].shape) for k, c in out.items()}
+    for k, v in torch_sd.items():
+        if k in out or not k.endswith("weight") or v.ndim != 2:
+            continue
+        hit = flagged.get(depattern(k))
+        if hit is not None and hit[1] == v.shape:
+            out[k] = hit[0]
     return out
 
 

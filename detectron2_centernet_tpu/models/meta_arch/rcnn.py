@@ -65,6 +65,39 @@ from ..roi_heads.roi_heads import (
 )
 
 
+def _clip_boxes(boxes: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    """Clip XYXY boxes to [0, w] x [0, h] (reference Boxes.clip)."""
+    h, w = hw
+    x1 = jnp.clip(boxes[..., 0], 0, w)
+    y1 = jnp.clip(boxes[..., 1], 0, h)
+    x2 = jnp.clip(boxes[..., 2], 0, w)
+    y2 = jnp.clip(boxes[..., 3], 0, h)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+@jax.custom_vjp
+def _scale_gradient_impl(x, scale):
+    return x
+
+
+def _scale_gradient_fwd(x, scale):
+    return x, scale
+
+
+def _scale_gradient_bwd(scale, g):
+    return (g * scale, None)
+
+
+_scale_gradient_impl.defvjp(_scale_gradient_fwd, _scale_gradient_bwd)
+
+
+def _scale_gradient(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Identity whose backward multiplies the cotangent by ``scale``
+    (reference cascade _ScaleGradient, cascade_rcnn.py:269-276: stage losses
+    sum, but feature gradients scale 1/num_stages)."""
+    return _scale_gradient_impl(x, jnp.float32(scale))
+
+
 class RCNNNetwork(nn.Module):
     """All parameterized pieces in one flax module; the pure logic between
     them lives in the meta-arch and runs inside the same jit."""
@@ -518,17 +551,31 @@ class GeneralizedRCNN:
         if self.roi_type == "cascade":
             # reference CascadeROIHeads (cascade_rcnn.py:96-172): stage 0
             # trains on the sampled rois; later stages on the previous
-            # stage's refined boxes, re-labeled at increasing IoU
+            # stage's refined boxes CLIPPED to the image and with empty
+            # boxes dropped (_create_proposals_from_boxes, :278-295 —
+            # weight 0 is the static-shape equivalent of the nonempty
+            # filter: fast_rcnn_losses normalizes by the weight sum), then
+            # re-labeled at increasing IoU
             cur = sampled["boxes"]  # (N, S, 4)
             cur_sampled = dict(flat_sampled)
+            cur_weights = flat_sampled["weights"].reshape(n, s)
             for t, (iou_t, b2b) in enumerate(zip(self.cascade_ious, self.cascade_weights)):
                 if t > 0:
+                    cur = _clip_boxes(cur, (h, w))
+                    nonempty = (cur[..., 2] > cur[..., 0]) & (cur[..., 3] > cur[..., 1])
+                    cur_weights = cur_weights * nonempty.astype(cur_weights.dtype)
                     cur_sampled = self._cascade_relabel(
                         cur, batch["gt_boxes"], batch["gt_classes"],
-                        batch["gt_valid"], flat_sampled["weights"].reshape(n, s),
-                        iou_t,
+                        batch["gt_valid"], cur_weights, iou_t,
                     )
-                pooled = self._pool(feats, cur.reshape(n * s, 4), batch_idx)
+                # the original cascade averages stage losses but scales the
+                # head gradients back up — equivalent to summing the losses
+                # with feature gradients scaled 1/num_stages
+                # (reference _ScaleGradient, cascade_rcnn.py:269-276)
+                pooled = _scale_gradient(
+                    self._pool(feats, cur.reshape(n * s, 4), batch_idx),
+                    1.0 / len(self.cascade_ious),
+                )
                 scores, deltas4 = self.module.apply(
                     variables, pooled, True, method=RCNNNetwork.box_predict,
                     stage=t,
@@ -690,10 +737,16 @@ class GeneralizedRCNN:
         p = prop_boxes.shape[1]
         batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), p)
         if self.roi_type == "cascade":
-            # run all stages; average stage scores, keep final refined boxes
+            # run all stages; average stage scores, keep final refined boxes.
+            # Stage k>0 inputs are the previous refinements clipped to the
+            # image (reference _create_proposals_from_boxes); the final boxes
+            # stay unclipped here — fast_rcnn_inference clips, like the
+            # reference's fast_rcnn_inference_single_image
             cur = prop_boxes
             stage_scores = []
             for t, b2b in enumerate(self.cascade_weights):
+                if t > 0:
+                    cur = _clip_boxes(cur, (h, w))
                 pooled = self._pool(feats, cur.reshape(n * p, 4), batch_idx)
                 sc, deltas4 = self.module.apply(
                     variables, pooled, False, method=RCNNNetwork.box_predict,

@@ -376,6 +376,27 @@ def _install_stubs(torch):
             first = args[0] if args else kwargs.get("cfg")
             return hasattr(first, "MODEL")
 
+        def _args_from_config(from_config_func, *args, **kwargs):
+            """Reference ``_get_args_from_config`` (config.py:166-199):
+            kwargs the from_config signature doesn't accept are forwarded
+            to __init__ on top of from_config's dict (CascadeROIHeads
+            passes box2box_transform= alongside cfg)."""
+            import inspect
+
+            sig = inspect.signature(from_config_func)
+            has_var_kw = any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in sig.parameters.values()
+            )
+            extra = {}
+            if not has_var_kw:
+                for name in list(kwargs):
+                    if name not in sig.parameters:
+                        extra[name] = kwargs.pop(name)
+            ret = from_config_func(*args, **kwargs)
+            ret.update(extra)
+            return ret
+
         def configurable(init_func=None, *, from_config=None):
             """Reference ``detectron2/config/config.py:110-199`` semantics:
             a cfg first-arg routes through ``from_config`` into explicit
@@ -384,7 +405,9 @@ def _install_stubs(torch):
                 @functools.wraps(init_func)
                 def wrapped(self, *args, **kwargs):
                     if _called_with_cfg(*args, **kwargs):
-                        explicit = type(self).from_config(*args, **kwargs)
+                        explicit = _args_from_config(
+                            type(self).from_config, *args, **kwargs
+                        )
                         init_func(self, **explicit)
                     else:
                         init_func(self, *args, **kwargs)
@@ -395,7 +418,9 @@ def _install_stubs(torch):
                 @functools.wraps(orig_func)
                 def wrapped(*args, **kwargs):
                     if _called_with_cfg(*args, **kwargs):
-                        return orig_func(**from_config(*args, **kwargs))
+                        return orig_func(
+                            **_args_from_config(from_config, *args, **kwargs)
+                        )
                     return orig_func(*args, **kwargs)
 
                 return wrapped
