@@ -210,6 +210,20 @@ class RCNNNetwork(nn.Module):
         logits, deltas = self.rpn_head(rpn_feats)
         return feats, logits, deltas
 
+    def res5_transform(self, pooled, train: bool = False):
+        """C4 shared per-roi transform: the res5 stage on 14x14 pooled rois
+        (reference Res5ROIHeads._shared_roi_transform, roi_heads.py:411-413)
+        — its 7x7 output feeds BOTH the box predictor and the mask head."""
+        x = pooled
+        for block in self.res5_blocks:
+            x = block(x, train)
+        return x
+
+    def box_predict_shared(self, shared):
+        """(scores, deltas) from an already-res5-transformed roi feature;
+        the predictor global-avg-pools the 7x7 input (roi_heads.py:430-434)."""
+        return self.box_predictor(shared)
+
     def box_predict(self, pooled, train: bool = False, stage: int = 0):
         """pooled (R, P, P, C) -> (scores, deltas)."""
         if self.roi_type == "cascade":
@@ -218,11 +232,7 @@ class RCNNNetwork(nn.Module):
         if self.roi_type == "standard":
             x = self.box_head(pooled, train)
         else:
-            # C4: run the res5 stage on the 14x14 pooled rois; the predictor
-            # global-avg-pools its 7x7 output (reference roi_heads.py:430-459)
-            x = pooled
-            for block in self.res5_blocks:
-                x = block(x, train)
+            x = self.res5_transform(pooled, train)
         return self.box_predictor(x)
 
     def mask_predict(self, pooled, train: bool = False):
@@ -254,8 +264,16 @@ class RCNNNetwork(nn.Module):
         else:
             self.box_predict(dummy_pooled, train)
         if self.mask_on:
-            mp = self.mask_pooler_resolution
-            self.mask_predict(jnp.zeros((1, mp, mp, c), f0.dtype), train)
+            if self.roi_type == "res5":
+                # C4: the mask head consumes the shared res5 output
+                # (res5_out_channels at half the box pooler resolution)
+                self.mask_predict(
+                    jnp.zeros((1, p // 2, p // 2, self.res5_out_channels), f0.dtype),
+                    train,
+                )
+            else:
+                mp = self.mask_pooler_resolution
+                self.mask_predict(jnp.zeros((1, mp, mp, c), f0.dtype), train)
         if self.keypoint_on:
             kp = self.keypoint_pooler_resolution
             self.keypoint_predict(jnp.zeros((1, kp, kp, c), f0.dtype), train)
@@ -589,9 +607,20 @@ class GeneralizedRCNN:
                 cur = jax.lax.stop_gradient(refined).reshape(n, s, 4)
         else:
             pooled = self._pool(feats, sampled["boxes"].reshape(n * s, 4), batch_idx)
-            scores, box_deltas = self.module.apply(
-                variables, pooled, True, method=RCNNNetwork.box_predict
-            )
+            res5_shared = None
+            if self.roi_type == "res5":
+                # C4: one shared res5 transform feeds box predictor AND mask
+                # head (reference Res5ROIHeads.forward, roi_heads.py:415-441)
+                res5_shared = self.module.apply(
+                    variables, pooled, True, method=RCNNNetwork.res5_transform
+                )
+                scores, box_deltas = self.module.apply(
+                    variables, res5_shared, method=RCNNNetwork.box_predict_shared
+                )
+            else:
+                scores, box_deltas = self.module.apply(
+                    variables, pooled, True, method=RCNNNetwork.box_predict
+                )
             roi_loss = fast_rcnn_losses(
                 scores, box_deltas, flat_sampled, self.box2box,
                 self.num_classes, self.smooth_l1_beta,
@@ -600,11 +629,14 @@ class GeneralizedRCNN:
         flat_boxes = sampled["boxes"].reshape(n * s, 4)
 
         if self.mask_on and "gt_masks" in batch:
-            mask_pooled = self._pool(
-                feats, flat_boxes, batch_idx, self.mask_pooler_resolution
-            )
+            if self.roi_type == "res5" and res5_shared is not None:
+                mask_input = res5_shared
+            else:
+                mask_input = self._pool(
+                    feats, flat_boxes, batch_idx, self.mask_pooler_resolution
+                )
             mask_logits = self.module.apply(
-                variables, mask_pooled, True, method=RCNNNetwork.mask_predict
+                variables, mask_input, True, method=RCNNNetwork.mask_predict
             )  # (N*S, 2P, 2P, C)
             crop_fn = jax.vmap(
                 lambda rasters, gb, midx, rois: crop_gt_masks(
@@ -779,9 +811,20 @@ class GeneralizedRCNN:
             k = dets["boxes"].shape[1]
             det_boxes = dets["boxes"].reshape(n * k, 4)
             det_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
-            mask_pooled = self._pool(
-                feats, det_boxes, det_idx, self.mask_pooler_resolution
-            )
+            if self.roi_type == "res5":
+                # C4 eval re-runs the shared res5 transform on the final
+                # detection boxes (reference forward_with_given_boxes ->
+                # _shared_roi_transform, roi_heads.py:443-466)
+                mask_pooled = self.module.apply(
+                    variables,
+                    self._pool(feats, det_boxes, det_idx),
+                    False,
+                    method=RCNNNetwork.res5_transform,
+                )
+            else:
+                mask_pooled = self._pool(
+                    feats, det_boxes, det_idx, self.mask_pooler_resolution
+                )
             mask_logits = self.module.apply(
                 variables, mask_pooled, False, method=RCNNNetwork.mask_predict
             )

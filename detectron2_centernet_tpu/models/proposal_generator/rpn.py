@@ -22,17 +22,23 @@ __all__ = ["StandardRPNHead", "subsample_labels", "rpn_losses", "find_top_rpn_pr
 
 
 class StandardRPNHead(nn.Module):
-    """Shared conv + objectness/delta predictors over pyramid levels."""
+    """Shared conv + objectness/delta predictors over pyramid levels.
+
+    The hidden conv width follows the INPUT channel count (reference
+    rpn.py:92: ``Conv2d(in_channels, in_channels, 3)``) — 256 on FPN
+    pyramids but 1024 on the C4 family's single res4 level; ``channels``
+    overrides it explicitly."""
 
     num_anchors: int
-    channels: int = 256
+    channels: int = 0  # 0 -> match the input feature width
     box_dim: int = 4  # 5 for rotated (RRPN)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, features: List[jnp.ndarray]) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
         w_init = nn.initializers.normal(0.01)
-        conv = nn.Conv(self.channels, (3, 3), padding="SAME", kernel_init=w_init,
+        conv = nn.Conv(self.channels or features[0].shape[-1], (3, 3),
+                       padding="SAME", kernel_init=w_init,
                        dtype=self.dtype, name="conv")
         objectness = nn.Conv(self.num_anchors, (1, 1), kernel_init=w_init,
                              dtype=jnp.float32, name="objectness_logits")
