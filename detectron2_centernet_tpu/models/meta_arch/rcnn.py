@@ -123,6 +123,7 @@ class RCNNNetwork(nn.Module):
     mask_pooler_resolution: int = 14
     keypoint_on: bool = False
     num_keypoints: int = 17
+    keypoint_conv_dims: Tuple[int, ...] = (512,) * 8
     keypoint_pooler_resolution: int = 14
     point_rend_on: bool = False
     point_fc_dim: int = 256
@@ -193,7 +194,8 @@ class RCNNNetwork(nn.Module):
                 )
         if self.keypoint_on:
             self.keypoint_head = KRCNNConvDeconvUpsampleHead(
-                self.num_keypoints, dtype=self.dtype,
+                self.num_keypoints, conv_dims=tuple(self.keypoint_conv_dims),
+                dtype=self.dtype,
             )
         if self.point_rend_on:
             self.point_head = PointHead(
@@ -426,6 +428,7 @@ class GeneralizedRCNN:
             mask_pooler_resolution=int(mh.POOLER_RESOLUTION),
             keypoint_on=self.keypoint_on,
             num_keypoints=self.num_keypoints,
+            keypoint_conv_dims=tuple(int(d) for d in kh.CONV_DIMS),
             keypoint_pooler_resolution=int(kh.POOLER_RESOLUTION),
             point_rend_on=self.point_rend_on,
             point_fc_dim=int(ph.FC_DIM),
