@@ -172,15 +172,28 @@ class MaskFromDensePoseSampler:
         n = min(labels.shape[0], max_objs)
         s = labels.shape[-1]
         out = np.zeros((max_objs, self.raster, self.raster), np.uint8)
-        step = max(s // self.raster, 1)
-        for i in range(n):
-            fg = labels[i] > 0
-            out[i] = (
-                fg[: self.raster * step, : self.raster * step]
-                .reshape(self.raster, step, self.raster, step)
-                .max(axis=(1, 3))
-                .astype(np.uint8)
-            )
+        if s >= self.raster and s % self.raster == 0:
+            step = s // self.raster
+            for i in range(n):
+                fg = labels[i] > 0
+                out[i] = (
+                    fg.reshape(self.raster, step, self.raster, step)
+                    .max(axis=(1, 3))
+                    .astype(np.uint8)
+                )
+        else:
+            # Non-multiple (e.g. HEATMAP_SIZE=112 with raster=64) or
+            # upsampling rasters: area-resize the fg fraction and keep any
+            # cell with foreground coverage, matching the block-max intent.
+            import cv2
+
+            for i in range(n):
+                fg = (labels[i] > 0).astype(np.float32)
+                resized = cv2.resize(
+                    fg, (self.raster, self.raster),
+                    interpolation=cv2.INTER_AREA,
+                )
+                out[i] = (resized > 0).astype(np.uint8)
         return out
 
 
@@ -378,12 +391,13 @@ class VideoKeyframeDataset:
             if not ok:
                 break
             if i in keep:
-                frame = frame[:, :, ::-1]  # BGR -> RGB
-                if self.transform is not None:
-                    frame = self.transform(frame)
-                frames.append(frame)
+                frames.append(frame[:, :, ::-1])  # BGR -> RGB
             i += 1
         cap.release()
+        if self.transform is not None and frames:
+            # Transforms take (N, H, W, 3) batches (ImageResizeTransform);
+            # stack the keyframes and apply once.
+            frames = list(self.transform(np.stack(frames)))
         return frames
 
 

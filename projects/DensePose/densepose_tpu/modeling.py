@@ -48,12 +48,24 @@ class DensePoseHead(nn.Module):
 
 
 def _gn_groups(channels: int, want: int = 32) -> int:
-    """Largest divisor of ``channels`` not above ``want`` (the reference
-    hardcodes 32 groups for its 512-wide heads; tiny test widths need a
-    divisor)."""
+    """GroupNorm group count.  The reference hardcodes 32 groups for its
+    DeepLab/ASPP heads; any reference-parity width is divisible by 32 and
+    gets exactly 32 so imported-checkpoint statistics match.  Only
+    explicitly-tiny test widths (< 32 channels, or a non-multiple used in
+    unit tests) fall back to the largest divisor."""
+    if channels % want == 0:
+        return want
     g = min(want, channels)
     while channels % g:
         g -= 1
+    if channels >= want:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "GroupNorm width %d is not divisible by the reference's %d "
+            "groups; using %d groups — imported-checkpoint activations will "
+            "differ from the reference at this width.", channels, want, g,
+        )
     return g
 
 

@@ -142,7 +142,11 @@ class DensePoseTTAPredictor:
 
         keep = np.arange(0)
         if len(boxes):
-            offset = classes[:, None].astype(np.float64) * (boxes.max() + 1.0)
+            # Offset by the full coordinate span: TTA un-mapping can leave
+            # (pre-clip) negative coordinates, and banding by max() alone
+            # would let adjacent class bands overlap.
+            span = boxes.max() - min(float(boxes.min()), 0.0) + 1.0
+            offset = classes[:, None].astype(np.float64) * span
             keep = numpy_nms(boxes + offset, scores, self.nms_thresh)
             keep = keep[: self.max_detections]
 

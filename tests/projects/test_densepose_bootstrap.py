@@ -108,6 +108,56 @@ def test_mask_from_densepose_sampler():
     assert masks[0, :4].all() and not masks[0, 4:].any()
 
 
+def test_mask_sampler_non_multiple_raster():
+    """HEATMAP_SIZE=112 labels with the default raster=64 must cover the
+    whole raster (not crop the top-left corner), and rasters larger than the
+    label grid must upsample instead of raising."""
+    pred = _fake_pred(k=1, s=112)
+    pred["dp_labels"][0, :, :] = 0
+    pred["dp_labels"][0, 56:, 56:] = 5  # bottom-right quadrant only
+    masks = MaskFromDensePoseSampler(raster=64)(pred, max_objs=1)
+    assert masks.shape == (1, 64, 64)
+    # bottom-right quadrant foreground survives; top-left stays empty
+    assert masks[0, 33:, 33:].all()
+    assert not masks[0, :31, :31].any()
+
+    tiny = _fake_pred(k=1, s=4)
+    tiny["dp_labels"][0, :, :] = 0
+    tiny["dp_labels"][0, 2:, :] = 1
+    up = MaskFromDensePoseSampler(raster=8)(tiny, max_objs=1)
+    assert up.shape == (1, 8, 8)
+    assert up[0, 4:].all() and not up[0, :4].any()
+
+
+def test_video_keyframe_dataset_batched_transform(tmp_path):
+    """The per-video transform receives the stacked (N, H, W, 3) batch, as
+    ImageResizeTransform expects."""
+    import cv2
+
+    from densepose_tpu import ImageResizeTransform, VideoKeyframeDataset
+
+    path = str(tmp_path / "clip.avi")
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"MJPG"), 5.0, (32, 24)
+    )
+    if not writer.isOpened():  # codec unavailable in this env
+        import pytest
+
+        pytest.skip("no MJPG codec available")
+    for i in range(4):
+        writer.write(np.full((24, 32, 3), i * 40, np.uint8))
+    writer.release()
+
+    ds = VideoKeyframeDataset(
+        [path], transform=ImageResizeTransform(min_size=12, max_size=16)
+    )
+    frames = ds[0]
+    assert len(frames) == 4
+    for f in frames:
+        assert f.dtype == np.float32
+        assert f.shape == (12, 16, 3)
+
+
 def test_combined_loader_ratios():
     a, b = [1, 1, 1], [2, 2, 2]
     combined = CombinedDataLoader([a, b], ratios=[0.5, 0.5], seed=0)
