@@ -188,12 +188,21 @@ def main() -> None:
 
     if os.environ.get("BENCH_E2E", "1") != "0":
         try:
-            wall, sustained = _bench_e2e_eval(model, variables)
+            wall, sustained, brk = _bench_e2e_eval(model, variables)
             extra["e2e_eval_img_s"] = wall
             extra["e2e_sustained_img_s"] = sustained
+            extra["e2e_host_ms_img"] = brk
         except Exception as e:  # noqa: BLE001
             extra["e2e_eval_img_s"] = None
             extra["e2e_error"] = type(e).__name__
+        if os.environ.get("BENCH_E2E_PREDECODED", "1") != "0":
+            try:
+                _, sustained_pd, _ = _bench_e2e_eval(
+                    model, variables, predecoded=True
+                )
+                extra["e2e_predecoded_img_s"] = sustained_pd
+            except Exception as e:  # noqa: BLE001
+                extra["e2e_predecoded_error"] = type(e).__name__
 
     print(
         json.dumps(
@@ -225,13 +234,20 @@ def _write_jpegs(tmp: str, n: int, rng) -> list:
     return files
 
 
-def _bench_e2e_eval(model, variables, n_images: int = 512, batch: int = 32):
+def _bench_e2e_eval(
+    model, variables, n_images: int = 512, batch: int = 32,
+    predecoded: bool = False,
+):
     """End-to-end eval throughput (VERDICT r2 item 2): jpeg decode ->
     letterbox warp -> H2D -> device forward+decode -> host postprocess,
     through the real ``inference_on_dataset`` pipelined loop.
 
+    ``predecoded=True`` maps every image once up front (decode+warp outside
+    the timed window) to isolate the decode cost from H2D/fetch/postprocess
+    — the "in-memory pre-decoded mode" of the host-roofline breakdown.
+
     Returns (wall img/s incl. pipeline fill, sustained img/s from the
-    loop's post-warmup window)."""
+    loop's post-warmup window, per-image host breakdown in ms)."""
     import tempfile
 
     import jax
@@ -255,6 +271,10 @@ def _bench_e2e_eval(model, variables, n_images: int = 512, batch: int = 32):
     cfg = get_cfg()
     cfg.INPUT.TEST_SIZE = (512, 512)
     mapper = DatasetMapper(cfg, is_train=False)
+    if predecoded:
+        pre = [mapper(dict(d)) for d in dicts[:16]]
+        dicts = [dict(pre[i % 16], image_id=np.int64(i)) for i in range(n_images)]
+        mapper = lambda d, rng=None: d  # noqa: E731
     loader = build_batch_iterator(
         dicts, mapper, InferenceSampler(len(dicts)), batch,
         num_workers=4, prefetch=4, seed=0, infinite=False,
@@ -268,8 +288,20 @@ def _bench_e2e_eval(model, variables, n_images: int = 512, batch: int = 32):
         predict, loader, None, postprocess=model.postprocess, batch_size=batch
     )
     dt = time.perf_counter() - t0
-    sustained = LAST_INFERENCE_STATS.get("sustained_img_s", 0.0)
-    return round(n_images / dt, 2), round(sustained, 2)
+    s = dict(LAST_INFERENCE_STATS)
+    n = max(s.get("total_images", 1), 1)
+    brk = {
+        k: round(s.get(src, 0.0) / n * 1e3, 2)
+        for k, src in (
+            ("loader", "loader_s"), ("h2d", "h2d_s"), ("data_wait", "data_s"),
+            ("compute_fetch", "compute_s"), ("post_eval", "eval_s"),
+        )
+    }
+    return (
+        round(n_images / dt, 2),
+        round(s.get("sustained_img_s", 0.0), 2),
+        brk,
+    )
 
 
 def _bench_loader(n_images: int = 160) -> float:

@@ -362,6 +362,9 @@ def _input_defaults() -> CN:
     # resize + divisibility padding (SURVEY.md §5 "long-context" analog).
     i.TRAIN_SIZE = (512, 512)
     i.TEST_SIZE = (512, 512)
+    # eval-time letterbox via resize+paste (~3x cheaper than warpAffine on
+    # the single host core); TEST.EXACT_MODE overrides back to warpAffine
+    i.FAST_LETTERBOX = True
     # CenterNet-style train-time augmentation: random scale & shift of the
     # affine crop (Objects-as-Points training recipe).
     i.SCALE_RANGE = (0.6, 1.4)

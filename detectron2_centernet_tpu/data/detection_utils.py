@@ -175,6 +175,45 @@ def warp_image(image: np.ndarray, m: np.ndarray, out_size: Tuple[int, int]) -> n
     )
 
 
+def fast_letterbox(
+    image: np.ndarray, out_size: Tuple[int, int]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Centered aspect-preserving letterbox via ``cv2.resize`` + paste —
+    ~3x cheaper than the equivalent ``warpAffine`` on the eval hot path
+    (one host core feeds the chip; docs/DESIGN.md host roofline).
+
+    Returns ``(canvas, m_eff)`` where ``m_eff`` is the EXACT source->canvas
+    affine the operation applied: ``resize`` uses the half-pixel-center
+    convention and the paste rectangle is integer-aligned, so the effective
+    scale/translation differ from ``letterbox_transform``'s by <1 px.
+    Downstream box un-mapping uses ``m_eff`` and stays self-consistent.
+    """
+    import cv2
+
+    from .transforms import letterbox_transform
+
+    h, w = image.shape[:2]
+    out_h, out_w = out_size
+    m = letterbox_transform(h, w, out_size)
+    # paste rectangle of the source extent under the requested warp
+    x0, y0 = m[0, 2], m[1, 2]
+    x1, y1 = m[0, 0] * w + x0, m[1, 1] * h + y0
+    xi0, yi0 = max(int(round(x0)), 0), max(int(round(y0)), 0)
+    xi1, yi1 = min(int(round(x1)), out_w), min(int(round(y1)), out_h)
+    rw, rh = max(xi1 - xi0, 1), max(yi1 - yi0, 1)
+    resized = cv2.resize(image, (rw, rh), interpolation=cv2.INTER_LINEAR)
+    canvas_shape = (out_h, out_w) + image.shape[2:]
+    canvas = np.zeros(canvas_shape, image.dtype)
+    canvas[yi0:yi0 + rh, xi0:xi0 + rw] = resized
+    # effective affine: x_dst = s*(x_src + 0.5) - 0.5 + xi0
+    sx, sy = rw / w, rh / h
+    m_eff = np.array(
+        [[sx, 0.0, xi0 + 0.5 * sx - 0.5], [0.0, sy, yi0 + 0.5 * sy - 0.5]],
+        np.float64,
+    )
+    return canvas, m_eff
+
+
 def letterbox_and_flip_variants(image: np.ndarray, sizes, flip: bool):
     """Yield (warped f32 image, warp matrix, flipped?, size) for each TTA
     variant: one square letterbox per size, plus the horizontal flip of each

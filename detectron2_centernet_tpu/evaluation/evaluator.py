@@ -79,29 +79,46 @@ def _pad_batch(batch: Dict[str, np.ndarray], size: int) -> Dict[str, np.ndarray]
 _DEVICE_KEYS = ("image", "proposal_boxes", "proposal_valid")
 
 
-def _h2d_prefetch(data_loader, batch_size):
+def _h2d_prefetch(data_loader, batch_size, stats=None):
     """Iterate (batch, device_arrays, n_valid) with host->device transfers
     running one batch ahead in a background thread.
 
     The H2D copy of a full eval batch can rival or exceed device compute
     (on this host's relayed TPU it is the single largest eval cost);
     overlapping it with the previous batch's compute + host postprocess
-    pipelines all three stages."""
+    pipelines all three stages.  ``stats`` (optional dict) accumulates the
+    worker thread's own timing: ``loader_s`` (time blocked on the data
+    loader = decode+warp+batching) and ``h2d_s`` (device_put + transfer
+    fence) — on a single-core host these are CPU costs even though they
+    "overlap" the main thread."""
     import queue as _queue
     import threading
 
     import jax
 
     q: "_queue.Queue" = _queue.Queue(maxsize=2)
+    if stats is None:
+        stats = {}
+    stats.setdefault("loader_s", 0.0)
+    stats.setdefault("h2d_s", 0.0)
 
     def worker():
         try:
-            for batch in iter(data_loader):
+            it = iter(data_loader)
+            while True:
+                t0 = time.perf_counter()
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    break
+                stats["loader_s"] += time.perf_counter() - t0
                 n_valid = batch["image"].shape[0]
                 if batch_size is not None and n_valid < batch_size:
                     batch = _pad_batch(batch, batch_size)
+                t1 = time.perf_counter()
                 dev = {k: jax.device_put(batch[k]) for k in _DEVICE_KEYS if k in batch}
                 jax.block_until_ready(list(dev.values()))  # start the copy now
+                stats["h2d_s"] += time.perf_counter() - t1
                 q.put((batch, dev, n_valid))
         except Exception as e:  # surface loader/transfer errors
             q.put(e)
@@ -182,9 +199,10 @@ def inference_on_dataset(
     # the evaluator, so device compute overlaps host postprocess/eval work
     # (and the loader's prefetch thread overlaps both).
     pending = None
+    worker_stats: Dict[str, float] = {}
     start_data_time = time.perf_counter()
     for idx, (batch, dev, n_valid) in enumerate(
-        _h2d_prefetch(data_loader, batch_size)
+        _h2d_prefetch(data_loader, batch_size, worker_stats)
     ):
         total_data_time += time.perf_counter() - start_data_time
         if idx == num_warmup:
@@ -260,6 +278,8 @@ def inference_on_dataset(
         data_s=total_data_time,
         compute_s=total_compute_time,
         eval_s=total_eval_time,
+        loader_s=worker_stats.get("loader_s", 0.0),
+        h2d_s=worker_stats.get("h2d_s", 0.0),
         warm_wall_s=total_time,
         warm_images=warm_images,
         sustained_img_s=(warm_images / total_time if total_time > 0 else 0.0),

@@ -124,3 +124,72 @@ def test_mapper_crop_keeps_boxes_consistent():
     assert inner.size and inner.mean() > 200, (out["gt_boxes"][0], inner.mean())
     outer = out["image"].sum() - inner.sum() * (inner.size / inner.size)
     assert out["image"][: max(int(y0) - 2, 0)].mean() < 30
+
+
+def test_fast_letterbox_geometry_matches_effective_matrix():
+    """The resize+paste eval letterbox reports the EXACT affine it applied:
+    a bright square's pixels land where m_eff says its box lands (<1.5 px),
+    and the fast path stays close to the warpAffine formulation."""
+    import cv2
+
+    from detectron2_centernet_tpu.data.detection_utils import (
+        apply_affine_to_boxes,
+        fast_letterbox,
+        warp_image,
+    )
+    from detectron2_centernet_tpu.data.transforms import letterbox_transform
+
+    img = np.zeros((480, 640, 3), np.uint8)
+    img[120:360, 200:440] = 255
+    canvas, m_eff = fast_letterbox(img, (512, 512))
+    assert canvas.shape == (512, 512, 3) and canvas.dtype == np.uint8
+
+    # measured content box vs the box predicted by m_eff
+    ys, xs = np.nonzero(canvas[..., 0] > 127)
+    got = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+    want = apply_affine_to_boxes(m_eff, np.array([[200.0, 120, 440, 360]]))[0]
+    np.testing.assert_allclose(got, want, atol=1.5)
+
+    # pixel content close to the warpAffine reference formulation
+    m = letterbox_transform(480, 640, (512, 512))
+    ref = warp_image(img, m, (512, 512))
+    diff = np.abs(canvas.astype(np.int16) - ref.astype(np.int16))
+    assert (diff > 64).mean() < 0.01  # only edge pixels may differ
+
+    # grayscale input keeps its rank
+    g, mg = fast_letterbox(img[..., 0], (512, 512))
+    assert g.shape == (512, 512)
+    np.testing.assert_allclose(mg, m_eff)
+
+
+def test_eval_mapper_uses_fast_letterbox_and_exact_mode_disables():
+    from detectron2_centernet_tpu.config import get_cfg
+    from detectron2_centernet_tpu.data.dataset_mapper import DatasetMapper
+
+    img = (np.random.RandomState(0).rand(100, 50, 3) * 255).astype(np.uint8)
+    d = {"image": img, "height": 100, "width": 50, "image_id": 7}
+
+    cfg = get_cfg()
+    cfg.INPUT.TEST_SIZE = (64, 64)
+    fast = DatasetMapper(cfg, is_train=False)(dict(d))
+
+    cfg2 = cfg.clone()
+    cfg2.INPUT.FAST_LETTERBOX = False
+    exact = DatasetMapper(cfg2, is_train=False)(dict(d))
+
+    assert fast["image"].shape == exact["image"].shape
+    # both matrices un-map a canvas point to nearly the same source point
+    from detectron2_centernet_tpu.data.detection_utils import (
+        invert_affine,
+        apply_affine_to_points,
+    )
+
+    pt = np.array([[32.0, 32.0]])
+    src_fast = apply_affine_to_points(invert_affine(fast["warp"].astype(np.float64)), pt)
+    src_exact = apply_affine_to_points(invert_affine(exact["warp"].astype(np.float64)), pt)
+    np.testing.assert_allclose(src_fast, src_exact, atol=2.0)
+
+    cfg3 = cfg.clone()
+    cfg3.TEST.EXACT_MODE = True
+    m3 = DatasetMapper(cfg3, is_train=False)
+    assert not m3.fast_letterbox
