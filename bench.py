@@ -204,6 +204,32 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 extra["e2e_predecoded_error"] = type(e).__name__
 
+    # per-family throughput beside the reference's MODEL_ZOO anchors
+    # (RetinaNet R50-FPN 0.056 s/im, Mask R-CNN R50-FPN 0.043 s/im on V100;
+    # /root/reference/MODEL_ZOO.md:119-355) — opt-out via BENCH_FAMILIES=""
+    fam_names = [
+        f for f in os.environ.get(
+            "BENCH_FAMILIES", "retinanet,mask_rcnn"
+        ).split(",") if f
+    ]
+    if fam_names:
+        import signal
+
+        def _bail2(signum, frame):
+            raise TimeoutError
+
+        signal.signal(signal.SIGALRM, _bail2)
+        fams = {}
+        for name in fam_names:
+            signal.alarm(int(os.environ.get("BENCH_FAMILY_TIMEOUT", "420")))
+            try:
+                fams[name] = _bench_family(name)
+            except Exception as e:  # noqa: BLE001
+                fams[name] = {"error": type(e).__name__}
+            finally:
+                signal.alarm(0)
+        extra["families"] = fams
+
     print(
         json.dumps(
             {
@@ -215,6 +241,120 @@ def main() -> None:
             }
         )
     )
+
+
+_FAMILY_CONFIGS = {
+    "retinanet": "COCO-Detection/retinanet_R_50_FPN_1x.yaml",
+    "faster_rcnn": "COCO-Detection/faster_rcnn_R_50_FPN_1x.yaml",
+    "mask_rcnn": "COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml",
+    "panoptic_fpn": "COCO-PanopticSegmentation/panoptic_fpn_R_50_1x.yaml",
+}
+
+
+def _bench_family(name: str) -> dict:
+    """Inference img/s + MFU for one BASELINE model family at 512^2 bf16
+    (reference cross-family table: MODEL_ZOO.md:119-543).  Train throughput
+    opt-in via BENCH_FAMILY_TRAIN=1 (extra compile minutes)."""
+    import jax
+
+    from detectron2_centernet_tpu.model_zoo import get_config
+    from detectron2_centernet_tpu.models import build_model
+
+    cfg = get_config(_FAMILY_CONFIGS[name])
+    cfg.INPUT.TEST_SIZE = (512, 512)
+    cfg.INPUT.TRAIN_SIZE = (512, 512)
+    cfg.TPU.DTYPE = "bfloat16"
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), (512, 512))
+
+    batch = int(os.environ.get("BENCH_FAMILY_BATCH", "32"))
+    predict = jax.jit(model.predict_fn)
+    images = np.asarray(
+        np.random.RandomState(0).rand(batch, 512, 512, 3) * 255, np.float32
+    )
+    for _ in range(WARMUP):
+        out = predict(variables, images)
+    first = next(iter(out.values()))
+    float(np.asarray(first).astype(np.float32).sum())
+    iters = 15
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = predict(variables, images)
+    float(np.asarray(next(iter(out.values()))).astype(np.float32).sum())
+    dt = time.perf_counter() - t0
+    img_s = batch * iters / dt
+
+    res = {"infer_img_s": round(img_s, 2), "batch": batch,
+           "s_per_img": round(dt / (batch * iters), 4)}
+    peak = _peak_flops()
+    flops = _model_flops(predict, variables, images)
+    if flops and peak:
+        res["flops_per_img"] = round(flops / batch / 1e9, 2)
+        res["mfu_infer"] = round(flops / batch * img_s / peak, 4)
+
+    if os.environ.get("BENCH_FAMILY_TRAIN", "0") == "1":
+        tb = int(os.environ.get("BENCH_FAMILY_TRAIN_BATCH", "16"))
+        res["train_img_s"], res["mfu_train"] = _bench_train_generic(
+            cfg, model, tb, name
+        )
+    return res
+
+
+def _bench_train_generic(cfg, model, batch, name) -> tuple:
+    """Train-step throughput for an R-CNN/RetinaNet-family config."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from detectron2_centernet_tpu.engine.train_state import (
+        create_train_state,
+        make_train_step,
+    )
+    from detectron2_centernet_tpu.parallel import replicate, shard_batch
+
+    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    step = make_train_step(model, tx, mesh)
+    state = replicate(state, mesh)
+
+    rng = np.random.RandomState(0)
+    m = 32
+    boxes = rng.rand(batch, m, 4).astype(np.float32) * 400
+    boxes[..., 2:] = np.minimum(boxes[..., :2] + 8 + boxes[..., 2:] * 0.2, 511)
+    data = {
+        "image": jnp.asarray(rng.rand(batch, 512, 512, 3) * 255, jnp.float32),
+        "gt_boxes": jnp.asarray(boxes),
+        "gt_classes": jnp.asarray(
+            rng.randint(0, cfg.MODEL.ROI_HEADS.NUM_CLASSES
+                        if "rcnn" in name else 80, (batch, m)), jnp.int32),
+        "gt_valid": jnp.ones((batch, m), bool),
+    }
+    if cfg.MODEL.MASK_ON:
+        r = int(cfg.INPUT.MASK_RASTER)
+        data["gt_masks"] = jnp.asarray(
+            (rng.rand(batch, m, r, r) > 0.5).astype(np.uint8)
+        )
+    if "panoptic" in name:
+        data["sem_seg"] = jnp.asarray(
+            rng.randint(0, cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+                        (batch, 512, 512)), jnp.int32)
+    data = shard_batch(data, mesh)
+    for _ in range(2):
+        state, metrics = step(state, data)
+    float(np.asarray(metrics["total_loss"]))
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, data)
+    float(np.asarray(metrics["total_loss"]))
+    dt = time.perf_counter() - t0
+    tr = batch * iters / dt
+    mfu = None
+    peak = _peak_flops()
+    flops = _model_flops(step, state, data, dcn_bwd_mult=2.0)
+    if flops and peak:
+        mfu = round(flops / batch * tr / peak, 4)
+    return round(tr, 2), mfu
 
 
 def _write_jpegs(tmp: str, n: int, rng) -> list:
