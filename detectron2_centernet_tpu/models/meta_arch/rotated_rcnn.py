@@ -30,7 +30,11 @@ from ..anchors import RotatedAnchorGenerator
 from ..box_regression import Box2BoxTransformRotated
 from ..matcher import Matcher
 from ..proposal_generator.rpn import StandardRPNHead, subsample_labels
-from ..proposal_generator.rrpn import find_top_rrpn_proposals, rrpn_losses
+from ..proposal_generator.rrpn import (
+    clip_rotated_boxes,
+    find_top_rrpn_proposals,
+    rrpn_losses,
+)
 from ..registry import BACKBONE_REGISTRY, META_ARCH_REGISTRY
 from ..roi_heads.box_head import FastRCNNConvFCHead, FastRCNNOutputLayers
 
@@ -90,7 +94,8 @@ class RotatedRCNN:
         self.rpn_strides = [strides_map[f] for f in self.rpn_in_features]
         a = cfg.MODEL.ANCHOR_GENERATOR
         self.anchor_generator = RotatedAnchorGenerator(
-            a.SIZES, a.ASPECT_RATIOS, a.ANGLES, self.rpn_strides, offset=0.5
+            a.SIZES, a.ASPECT_RATIOS, a.ANGLES, self.rpn_strides,
+            offset=float(a.OFFSET),
         )
         self.num_anchors_per_cell = self.anchor_generator.num_anchors[0]
         self.rpn_matcher = Matcher(list(r.IOU_THRESHOLDS), list(r.IOU_LABELS),
@@ -196,7 +201,11 @@ class RotatedRCNN:
             sel = subsample_labels(labels, self.roi_batch_size, self.roi_positive_fraction, rng_i)
             priority = jnp.where(sel == 1, 2.0, jnp.where(sel == 0, 1.0, 0.0))
             priority = priority + jax.random.uniform(rng_i, priority.shape) * 1e-3
-            _, idx = jax.lax.top_k(priority, self.roi_batch_size)
+            # cap at the candidate count: with few proposals (small images /
+            # aggressive NMS) the configured batch can exceed what exists
+            _, idx = jax.lax.top_k(
+                priority, min(self.roi_batch_size, priority.shape[0])
+            )
             sel_s = sel[idx]
             cls = jnp.where(sel_s == 1, gc[matches[idx]].astype(jnp.int32), self.num_classes)
             return {
@@ -254,6 +263,10 @@ class RotatedRCNN:
         boxes5 = self.box2box.apply_deltas(
             deltas5.reshape(n, p, 5), prop_boxes
         )
+        # reference fast_rcnn_inference_single_image_rotated clips the
+        # regressed boxes (near-horizontal only) BEFORE score filtering/NMS
+        # (rotated_fast_rcnn.py:104-107)
+        boxes5 = clip_rotated_boxes(boxes5, (h, w))
 
         def infer_one(pb, pv, pr):
             # full (proposal, class) candidate grid + per-class NMS — the

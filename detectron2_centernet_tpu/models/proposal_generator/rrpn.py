@@ -15,7 +15,47 @@ from ..box_regression import Box2BoxTransformRotated
 from ..matcher import Matcher
 from .rpn import subsample_labels
 
-__all__ = ["rrpn_losses", "find_top_rrpn_proposals"]
+__all__ = [
+    "rrpn_losses",
+    "find_top_rrpn_proposals",
+    "normalize_angles",
+    "clip_rotated_boxes",
+]
+
+
+def normalize_angles(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Restrict box angles to [-180, 180) degrees (reference
+    structures/rotated_boxes.py:246-250)."""
+    a = (boxes[..., 4] + 180.0) % 360.0 - 180.0
+    return jnp.concatenate([boxes[..., :4], a[..., None]], axis=-1)
+
+
+def clip_rotated_boxes(
+    boxes: jnp.ndarray, image_hw: Tuple[int, int], clip_angle_threshold: float = 1.0
+) -> jnp.ndarray:
+    """``RotatedBoxes.clip`` (reference structures/rotated_boxes.py:252-300):
+    normalize angles, then clip only near-horizontal boxes
+    (|angle| <= threshold) as axis-aligned rectangles; steeper boxes pass
+    through untouched (RoIAlignRotated handles out-of-image sampling)."""
+    h, w = image_hw
+    boxes = normalize_angles(boxes)
+    cx, cy, bw, bh, a = [boxes[..., i] for i in range(5)]
+    x1 = jnp.clip(cx - bw / 2.0, 0, w)
+    y1 = jnp.clip(cy - bh / 2.0, 0, h)
+    x2 = jnp.clip(cx + bw / 2.0, 0, w)
+    y2 = jnp.clip(cy + bh / 2.0, 0, h)
+    near_h = jnp.abs(a) <= clip_angle_threshold
+    out = jnp.stack(
+        [
+            jnp.where(near_h, (x1 + x2) / 2.0, cx),
+            jnp.where(near_h, (y1 + y2) / 2.0, cy),
+            jnp.where(near_h, jnp.minimum(bw, x2 - x1), bw),
+            jnp.where(near_h, jnp.minimum(bh, y2 - y1), bh),
+            a,
+        ],
+        axis=-1,
+    )
+    return out
 
 
 def rrpn_losses(
@@ -74,6 +114,7 @@ def find_top_rrpn_proposals(
     nms_thresh: float = 0.7,
     pre_nms_topk: int = 1000,
     post_nms_topk: int = 1000,
+    min_box_size: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(boxes (N, P, 5), scores (N, P), valid (N, P))."""
     h, w = image_hw
@@ -85,12 +126,16 @@ def find_top_rrpn_proposals(
             k = min(pre_nms_topk, lg.shape[0])
             scores, idx = jax.lax.top_k(lg, k)
             boxes = box2box.apply_deltas(dl[idx], anc[idx])
-            # keep centers inside the image (the rotated analog of clipping)
-            inside = (
-                (boxes[:, 0] >= 0) & (boxes[:, 0] < w)
-                & (boxes[:, 1] >= 0) & (boxes[:, 1] < h)
-            )
-            scores = jnp.where(inside, scores, -jnp.inf)
+            # reference rrpn.py:92-105: clip near-horizontal boxes to the
+            # image, then drop empty boxes (side <= min_box_size)
+            boxes = clip_rotated_boxes(boxes, (h, w))
+            nonempty = (boxes[:, 2] > min_box_size) & (boxes[:, 3] > min_box_size)
+            scores = jnp.where(nonempty, scores, -jnp.inf)
+            # per-level NMS capped at post_nms_topk survivors: the reference
+            # NMS-es the level union batched by level id and then takes a
+            # global post_nms_topk — identical to per-level NMS because
+            # cross-level boxes never suppress each other, and the per-level
+            # cap can't change a global top-(post_nms_topk) selection
             keep_k = min(post_nms_topk, k)
             keep, valid = nms_rotated_fixed(boxes, scores, nms_thresh, keep_k)
             all_boxes.append(boxes[keep])

@@ -593,6 +593,146 @@ def ref_rcnn(ref_full):
     return ns
 
 
+@pytest.fixture(scope="session")
+def ref_rotated(ref_rcnn):
+    """ref_rcnn extended with the rotated stack: RRPN (rrpn.py:113-235) and
+    RROIHeads (rotated_fast_rcnn.py:168-262), runnable on CPU by realizing
+    the three ``_C`` rotated kernels as exact host implementations:
+
+    - ``box_iou_rotated`` / ``nms_rotated``: our independently-derived
+      Sutherland–Hodgman polygon-clip IoU + greedy NMS
+      (``structures/rotated_boxes.py``, randomized-cross-checked in
+      tests/structures) — NOT a transcription of the reference csrc.
+    - ``roi_align_rotated_forward``: numpy per the documented CPU-kernel
+      semantics (ROIAlignRotated_cpu.cpp: continuous coords with the fixed
+      -0.5 offset, sample grid rotated by +angle around the box center,
+      ROIAlign border-handling bilinear taps, bin-mean over the grid).
+
+    The whole-model golden therefore checks everything BETWEEN those
+    kernels: rotated anchors, Box2BoxTransformRotated plumbing, proposal
+    clip/filter semantics, matching/sampling, losses and the per-class
+    rotated NMS inference path."""
+    import importlib
+
+    ns = ref_rcnn
+    torch = ns.torch
+    from detectron2_centernet_tpu.structures import rotated_boxes as rb_host
+
+    _C = sys.modules["detectron2"]._C
+
+    def box_iou_rotated(b1, b2):
+        iou = rb_host.pairwise_iou_rotated(
+            b1.detach().cpu().numpy(), b2.detach().cpu().numpy()
+        )
+        return torch.from_numpy(iou.astype(np.float32))
+
+    def nms_rotated(boxes, scores, iou_threshold):
+        keep = rb_host.nms_rotated(
+            boxes.detach().cpu().numpy(),
+            scores.detach().cpu().numpy(),
+            float(iou_threshold),
+        )
+        return torch.from_numpy(np.asarray(keep, np.int64))
+
+    def roi_align_rotated_forward(
+        input, rois, spatial_scale, pooled_h, pooled_w, sampling_ratio
+    ):
+        inp = input.detach().cpu().numpy().astype(np.float64)
+        r = rois.detach().cpu().numpy().astype(np.float64)
+        _, C, H, W = inp.shape
+        R = r.shape[0]
+        out = np.zeros((R, C, pooled_h, pooled_w), np.float64)
+        for i in range(R):
+            b = int(r[i, 0])
+            cx = r[i, 1] * spatial_scale - 0.5
+            cy = r[i, 2] * spatial_scale - 0.5
+            rw = r[i, 3] * spatial_scale
+            rh = r[i, 4] * spatial_scale
+            theta = r[i, 5] * np.pi / 180.0
+            cos_t, sin_t = np.cos(theta), np.sin(theta)
+            bin_h, bin_w = rh / pooled_h, rw / pooled_w
+            gh = sampling_ratio if sampling_ratio > 0 else max(
+                1, int(np.ceil(rh / pooled_h))
+            )
+            gw = sampling_ratio if sampling_ratio > 0 else max(
+                1, int(np.ceil(rw / pooled_w))
+            )
+            # roi-frame sample offsets, centered on the box
+            yy = (
+                -rh / 2.0
+                + np.arange(pooled_h)[:, None] * bin_h
+                + (np.arange(gh)[None, :] + 0.5) * bin_h / gh
+            ).reshape(-1)
+            xx = (
+                -rw / 2.0
+                + np.arange(pooled_w)[:, None] * bin_w
+                + (np.arange(gw)[None, :] + 0.5) * bin_w / gw
+            ).reshape(-1)
+            # rotate CCW by theta around the center, then translate
+            y = yy[:, None] * cos_t - xx[None, :] * sin_t + cy
+            x = yy[:, None] * sin_t + xx[None, :] * cos_t + cx
+            valid = (y >= -1.0) & (y <= H) & (x >= -1.0) & (x <= W)
+            yc = np.clip(y, 0.0, H - 1)
+            xc = np.clip(x, 0.0, W - 1)
+            y0 = np.minimum(np.floor(yc).astype(np.int64), H - 1)
+            x0 = np.minimum(np.floor(xc).astype(np.int64), W - 1)
+            y1 = np.minimum(y0 + 1, H - 1)
+            x1 = np.minimum(x0 + 1, W - 1)
+            fy, fx = yc - y0, xc - x0
+            img = inp[b]  # (C, H, W)
+            v = (
+                img[:, y0, x0] * (1 - fy) * (1 - fx)
+                + img[:, y0, x1] * (1 - fy) * fx
+                + img[:, y1, x0] * fy * (1 - fx)
+                + img[:, y1, x1] * fy * fx
+            ) * valid
+            out[i] = v.reshape(C, pooled_h, gh, pooled_w, gw).mean(axis=(2, 4))
+        return torch.from_numpy(out.astype(np.float32))
+
+    _C.box_iou_rotated = box_iou_rotated
+    _C.nms_rotated = nms_rotated
+    _C.roi_align_rotated_forward = roi_align_rotated_forward
+
+    ns.rrpn_ref = importlib.import_module(
+        "detectron2.modeling.proposal_generator.rrpn"
+    )  # registers RRPN
+    ns.rotated_fast_rcnn = importlib.import_module(
+        "detectron2.modeling.roi_heads.rotated_fast_rcnn"
+    )  # registers RROIHeads
+    return ns
+
+
+@pytest.fixture(scope="session")
+def ref_trident(ref_rcnn):
+    """ref_rcnn extended with the reference's own TridentNet project
+    (projects/TridentNet/tridentnet): TridentConv/backbone, TridentRPN and
+    TridentRes5ROIHeads + merge_branch_instances — pure torch, runnable on
+    CPU through the existing roi_align / nms stubs."""
+    import importlib
+
+    ns = ref_rcnn
+    modeling = sys.modules["detectron2.modeling"]
+    bb_build = importlib.import_module("detectron2.modeling.backbone.build")
+    pg_build = importlib.import_module(
+        "detectron2.modeling.proposal_generator.build"
+    )
+    for name, val in (
+        ("BACKBONE_REGISTRY", bb_build.BACKBONE_REGISTRY),
+        ("ResNet", ns.resnet.ResNet),
+        ("ResNetBlockBase", ns.resnet.ResNetBlockBase),
+        ("make_stage", ns.resnet.make_stage),
+        ("PROPOSAL_GENERATOR_REGISTRY", pg_build.PROPOSAL_GENERATOR_REGISTRY),
+        ("ROI_HEADS_REGISTRY", ns.roi_heads.ROI_HEADS_REGISTRY),
+        ("StandardROIHeads", ns.roi_heads.StandardROIHeads),
+    ):
+        setattr(modeling, name, val)
+    proj = os.path.join(REF, "projects", "TridentNet")
+    if proj not in sys.path:
+        sys.path.insert(0, proj)
+    ns.tridentnet = importlib.import_module("tridentnet")
+    return ns
+
+
 def seed_torch_module(module, seed=0):
     """Deterministically fill every parameter/buffer with smooth non-trivial
     values (same recipe reproducible on the flax side via torch_import)."""
