@@ -48,6 +48,28 @@ def random_color(rgb: bool = True, maximum: int = 255) -> np.ndarray:
     return cmap[np.random.randint(len(cmap))]
 
 
+def _change_color_brightness(color, brightness_factor: float):
+    """Lighter (>0) or darker (<0) variant of an RGB 0-255 color via HLS
+    lightness scaling (reference visualizer.py:1108-1132)."""
+    import colorsys
+
+    r, g, b = (float(c) / 255.0 for c in color)
+    h, l, s = colorsys.rgb_to_hls(r, g, b)
+    l = min(max(l + brightness_factor * l, 0.0), 1.0)
+    out = colorsys.hls_to_rgb(h, l, s)
+    return tuple(int(round(c * 255.0)) for c in out)
+
+
+def _jitter(color, rng=None):
+    """Slightly perturb an RGB 0-255 color (reference visualizer.py:1072-1089:
+    a random unit vector scaled to 0.5 in [0,1] color space)."""
+    rng = rng or np.random
+    vec = rng.rand(3)
+    vec = vec / np.linalg.norm(vec) * 0.5
+    res = np.clip(vec + np.asarray(color, np.float64) / 255.0, 0, 1)
+    return tuple(int(round(c * 255.0)) for c in res)
+
+
 class ColorMode:
     IMAGE = 0
     SEGMENTATION = 1
@@ -74,6 +96,7 @@ class Visualizer:
         self.metadata = metadata
         self.output = VisImage(self.img.copy())
         self._cmap = colormap()
+        self._instance_mode = instance_mode
 
     def _class_name(self, cls: int) -> str:
         names = self.metadata.get("thing_classes") if self.metadata is not None else None
@@ -81,12 +104,68 @@ class Visualizer:
             return names[cls]
         return str(cls)
 
+    def _create_grayscale_image(self, mask: Optional[np.ndarray] = None) -> np.ndarray:
+        """Grayscale copy of the base image; masked pixels keep their color
+        (reference visualizer.py:1091-1100, ColorMode.IMAGE_BW)."""
+        img_bw = self.img.astype(np.float32).mean(axis=2)
+        img_bw = np.stack([img_bw] * 3, axis=2)
+        if mask is not None:
+            img_bw[mask] = self.img[mask]
+        return img_bw.astype(np.uint8)
+
+    def _instance_colors(self, classes, n: int):
+        """Per-instance colors by mode (reference visualizer.py:378-392):
+        SEGMENTATION uses jittered metadata thing_colors; otherwise the
+        deterministic palette by class id."""
+        thing_colors = (
+            self.metadata.get("thing_colors") if self.metadata is not None else None
+        )
+        if (
+            self._instance_mode == ColorMode.SEGMENTATION
+            and thing_colors
+            and classes is not None
+        ):
+            return [
+                _jitter(thing_colors[int(c) % len(thing_colors)]) for c in classes
+            ]
+        if classes is not None:
+            return [
+                tuple(int(v) for v in self._cmap[int(c) % len(self._cmap)])
+                for c in classes
+            ]
+        return [(0, 255, 0)] * n
+
+    def _draw_mask_with_outline(self, img, mask, color, alpha: float) -> None:
+        """Fill at ``alpha`` + polygon outline in a darker shade — the
+        reference's draw_binary_mask draws mask_to_polygons contours with
+        edge_color = brightness(color, -0.7) (visualizer.py:1040-1060)."""
+        import cv2
+
+        m = mask.astype(bool)
+        img[m] = (1 - alpha) * img[m] + alpha * np.asarray(color)
+        edge = _change_color_brightness(color, -0.7)
+        contours, _ = cv2.findContours(
+            mask.astype(np.uint8), cv2.RETR_CCOMP, cv2.CHAIN_APPROX_NONE
+        )
+        cv2.polylines(img, contours, True, edge, 1, cv2.LINE_AA)
+
+    def _draw_label(self, img, label: str, pos, color) -> None:
+        """Auto-contrast label: the reference brightens the instance color
+        (brightness_factor=0.7) and draws on a dark backdrop
+        (visualizer.py:669-672 + draw_text's black-ish halo)."""
+        import cv2
+
+        light = _change_color_brightness(color, 0.7)
+        cv2.putText(img, label, pos, cv2.FONT_HERSHEY_SIMPLEX, 0.4,
+                    (0, 0, 0), 3, cv2.LINE_AA)
+        cv2.putText(img, label, pos, cv2.FONT_HERSHEY_SIMPLEX, 0.4,
+                    light, 1, cv2.LINE_AA)
+
     def draw_instance_predictions(self, predictions, **kwargs) -> VisImage:
         """predictions: Instances with pred_boxes/scores/pred_classes
         (+ optional pred_masks)."""
         import cv2
 
-        img = self.output.img
         boxes = np.asarray(predictions.pred_boxes.tensor) if predictions.has("pred_boxes") else None
         scores = np.asarray(predictions.scores) if predictions.has("scores") else None
         classes = np.asarray(predictions.pred_classes) if predictions.has("pred_classes") else None
@@ -100,18 +179,31 @@ class Visualizer:
             else None
         )
 
+        alpha = 0.5
+        if self._instance_mode == ColorMode.SEGMENTATION and (
+            self.metadata is not None and self.metadata.get("thing_colors")
+        ):
+            alpha = 0.8
+        if self._instance_mode == ColorMode.IMAGE_BW:
+            # grayscale everywhere except the union of predicted masks
+            union = (
+                masks.astype(bool).any(axis=0) if masks is not None else None
+            )
+            self.output = VisImage(self._create_grayscale_image(union))
+            alpha = 0.3
+
+        img = self.output.img.astype(np.float32)
         n = len(predictions)
         colors = kwargs.get("assigned_colors")
+        if colors is None:
+            colors = self._instance_colors(classes, n)
         for i in range(n):
-            if colors is not None:
-                color = tuple(int(c) for c in colors[i])
-            elif classes is not None:
-                color = tuple(int(c) for c in self._cmap[int(classes[i]) % len(self._cmap)])
-            else:
-                color = (0, 255, 0)
+            color = tuple(int(c) for c in colors[i])
             if masks is not None:
-                m = masks[i].astype(bool)
-                img[m] = 0.5 * img[m] + 0.5 * np.asarray(color)
+                self._draw_mask_with_outline(img, masks[i], color, alpha)
+        img = img.astype(np.uint8)
+        for i in range(n):
+            color = tuple(int(c) for c in colors[i])
             if boxes is not None:
                 x0, y0, x1, y1 = (int(v) for v in boxes[i])
                 cv2.rectangle(img, (x0, y0), (x1, y1), color, 1)
@@ -119,8 +211,7 @@ class Visualizer:
                 if scores is not None:
                     label = f"{label} {scores[i]:.0%}"
                 if label:
-                    cv2.putText(img, label, (x0, max(y0 - 3, 10)),
-                                cv2.FONT_HERSHEY_SIMPLEX, 0.4, color, 1, cv2.LINE_AA)
+                    self._draw_label(img, label, (x0, max(y0 - 3, 10)), color)
             if keypoints is not None:
                 self._draw_keypoints(img, keypoints[i])
         self.output = VisImage(img)
@@ -180,8 +271,13 @@ class Visualizer:
             if scores is not None:
                 label = f"{label} {scores[i]:.0%}"
             if label:
-                cv2.putText(img, label, (int(cx), int(cy)),
-                            cv2.FONT_HERSHEY_SIMPLEX, 0.4, color, 1, cv2.LINE_AA)
+                # label at the topmost corner in a lighter auto-contrast
+                # shade (reference draw_rotated_box_with_label,
+                # visualizer.py:936-978)
+                top = pts[np.argmin(pts[:, 1])]
+                self._draw_label(
+                    img, label, (int(top[0]), max(int(top[1]) - 3, 10)), color
+                )
         self.output = VisImage(img)
         return self.output
 
@@ -248,11 +344,19 @@ class Visualizer:
         return self.output
 
     def draw_sem_seg(self, sem_seg: np.ndarray, alpha: float = 0.5) -> VisImage:
+        """Metadata ``stuff_colors`` take precedence over the palette
+        (reference draw_sem_seg, visualizer.py:404-437)."""
         img = self.output.img.astype(np.float32)
         sem_seg = np.asarray(sem_seg)
+        stuff_colors = (
+            self.metadata.get("stuff_colors") if self.metadata is not None else None
+        )
         for cls in np.unique(sem_seg):
             m = sem_seg == cls
-            color = self._cmap[int(cls) % len(self._cmap)]
+            if stuff_colors and 0 <= int(cls) < len(stuff_colors):
+                color = np.asarray(stuff_colors[int(cls)], np.float32)
+            else:
+                color = self._cmap[int(cls) % len(self._cmap)]
             img[m] = (1 - alpha) * img[m] + alpha * color
         self.output = VisImage(img)
         return self.output

@@ -114,3 +114,75 @@ def test_video_visualizer_color_consistency():
     vv.draw_instance_predictions(_image(), inst3)
     assert np.allclose(vv._prev_colors[0], c1[0])
     assert not np.allclose(vv._prev_colors[1], c1[0])
+
+
+def _masked_instances():
+    inst = Instances((48, 64))
+    inst.pred_boxes = Boxes(np.asarray([[5, 5, 30, 30]], np.float32))
+    inst.scores = np.asarray([0.9], np.float32)
+    inst.pred_classes = np.asarray([0])
+    masks = np.zeros((1, 48, 64), bool)
+    masks[0, 8:28, 8:28] = True
+    inst.pred_masks = masks
+    return inst, masks
+
+
+def test_image_bw_mode():
+    """ColorMode.IMAGE_BW: everything outside the predicted-mask union goes
+    grayscale; masked pixels keep the original colors (reference
+    visualizer.py:388-392 + _create_grayscale_image)."""
+    from detectron2_centernet_tpu.utils.visualizer import ColorMode
+
+    img = _image()
+    inst, masks = _masked_instances()
+    vis = Visualizer(img, instance_mode=ColorMode.IMAGE_BW)
+    out = vis.draw_instance_predictions(inst).get_image()
+    # an untouched far-away region must be gray (r == g == b)
+    region = out[40:46, 50:60]
+    assert (region[..., 0] == region[..., 1]).all()
+    assert (region[..., 1] == region[..., 2]).all()
+    # the original image there is NOT gray
+    orig = img[40:46, 50:60]
+    assert not (orig[..., 0] == orig[..., 1]).all()
+
+
+def test_segmentation_mode_uses_thing_colors():
+    """ColorMode.SEGMENTATION: instance colors come from metadata
+    thing_colors (jittered), not the palette (reference :378-383)."""
+    from detectron2_centernet_tpu.utils.visualizer import ColorMode
+
+    meta = Metadata(name="t2")
+    meta.thing_classes = ["a"]
+    meta.thing_colors = [(255, 0, 0)]
+    inst, masks = _masked_instances()
+    img = np.zeros((48, 64, 3), np.uint8)
+    vis = Visualizer(img, meta, instance_mode=ColorMode.SEGMENTATION)
+    out = vis.draw_instance_predictions(inst).get_image()
+    interior = out[14:22, 14:22].reshape(-1, 3).mean(axis=0)
+    # red-dominated fill at alpha 0.8 over black: r >> g, b
+    assert interior[0] > 100 and interior[0] > interior[1] + 40
+    assert interior[0] > interior[2] + 40
+
+
+def test_mask_polygon_outline():
+    """Mask boundary gets a darker outline (reference draw_binary_mask
+    contours at brightness -0.7)."""
+    inst, masks = _masked_instances()
+    img = np.full((48, 64, 3), 200, np.uint8)
+    vis = Visualizer(img)
+    out = vis.draw_instance_predictions(inst).get_image()
+    boundary = out[8, 8:28].astype(int).mean(axis=-1)
+    interior = out[18, 12:24].astype(int).mean(axis=-1)
+    # boundary strictly darker than the alpha-filled interior
+    assert boundary.mean() < interior.mean() - 20
+
+
+def test_sem_seg_stuff_colors():
+    meta = Metadata(name="t3")
+    meta.stuff_classes = ["sky", "road"]
+    meta.stuff_colors = [(0, 0, 255), (0, 255, 0)]
+    seg = np.zeros((48, 64), np.int32)
+    seg[:, 32:] = 1
+    vis = Visualizer(np.zeros((48, 64, 3), np.uint8), meta)
+    out = vis.draw_sem_seg(seg, alpha=1.0).get_image()
+    assert out[10, 10, 2] == 255 and out[10, 50, 1] == 255
