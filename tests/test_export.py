@@ -1,6 +1,7 @@
 """StableHLO export round trip + analysis utilities."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -130,3 +131,85 @@ def test_export_model_cli(tmp_path):
     assert os.path.exists(os.path.join(out, "export_meta.json"))
     assert os.path.exists(os.path.join(out, "config.yaml"))
     assert "Smoke run OK" in r.stderr + r.stdout
+
+
+@pytest.mark.slow
+def test_int8_ptq_inference_acc(tmp_path):
+    """Inference-acc pin for the int8 PTQ path: train a tiny CenterNet to
+    mastery on a one-rectangle synthetic task, then require the int8
+    quantize->dequantize weights to hold AP within a small delta of f32
+    (the reference pins TensorRT/Caffe2 deployment accuracy the same way,
+    dev/run_inference_tests.sh; measured full-task delta recorded in
+    PARITY.md deviations)."""
+    from detectron2_centernet_tpu.data import DatasetCatalog, MetadataCatalog
+    from detectron2_centernet_tpu.engine import DefaultTrainer
+    from detectron2_centernet_tpu.export import (
+        dequantize_variables,
+        quantize_variables,
+    )
+
+    rng = np.random.RandomState(7)
+    def load():
+        dicts = []
+        for i in range(16):
+            img = np.zeros((64, 64, 3), np.uint8)
+            x, y = int(rng.randint(4, 38)), int(rng.randint(4, 42))
+            img[y : y + 16, x : x + 20, 0] = 255
+            dicts.append({
+                "image": img, "height": 64, "width": 64, "image_id": i,
+                "file_name": f"q{i}.png",
+                "annotations": [{
+                    "bbox": [float(x), float(y), 20.0, 16.0],
+                    "bbox_mode": 1, "category_id": 0, "iscrowd": 0,
+                }],
+            })
+        return dicts
+
+    name = "_int8_synth"
+    DatasetCatalog.register(name, load)
+    MetadataCatalog.get(name).set(thing_classes=["obj"])
+    try:
+        cfg = get_cfg()
+        cfg.DATASETS.TRAIN = (name,)
+        cfg.DATASETS.TEST = (name,)
+        cfg.MODEL.META_ARCHITECTURE = "CenterNet"
+        cfg.MODEL.BACKBONE.NAME = "build_dla34_backbone"
+        cfg.MODEL.CENTERNET.LEVELS = [1, 1, 1, 1, 1, 1]
+        cfg.MODEL.CENTERNET.CHANNELS = [4, 8, 8, 16, 16, 16]
+        cfg.MODEL.CENTERNET.HEAD_CONV = 8
+        cfg.MODEL.CENTERNET.MAX_OBJS = 4
+        cfg.MODEL.CENTERNET.SCORE_THRESH_TEST = 0.25
+        cfg.INPUT.TRAIN_SIZE = (64, 64)
+        cfg.INPUT.TEST_SIZE = (64, 64)
+        cfg.TPU.DTYPE = "float32"
+        cfg.SOLVER.OPTIMIZER = "ADAM"
+        cfg.SOLVER.IMS_PER_BATCH = 8
+        cfg.SOLVER.MAX_ITER = 400
+        cfg.SOLVER.BASE_LR = 2e-3
+        cfg.SOLVER.STEPS = (320,)
+        cfg.SOLVER.WARMUP_ITERS = 20
+        cfg.SOLVER.CHECKPOINT_PERIOD = 100000
+        cfg.TEST.BATCH_SIZE = 8
+        cfg.DATALOADER.NUM_WORKERS = 1
+        cfg.OUTPUT_DIR = str(tmp_path)
+        cfg.freeze()
+
+        trainer = DefaultTrainer(cfg)
+        trainer.resume_or_load(resume=False)
+        trainer.train()
+        ap_f32 = DefaultTrainer.test(cfg, trainer)["bbox"]["AP"]
+
+        model = trainer.model
+        model.variables = dequantize_variables(
+            quantize_variables({
+                "params": trainer.state.params,
+                "batch_stats": trainer.state.batch_stats,
+            })
+        )
+        ap_int8 = DefaultTrainer.test(cfg, model)["bbox"]["AP"]
+    finally:
+        DatasetCatalog.remove(name)
+        MetadataCatalog.remove(name)
+
+    assert ap_f32 > 40.0, f"f32 baseline did not learn the task: {ap_f32}"
+    assert ap_int8 >= ap_f32 - 5.0, (ap_f32, ap_int8)
